@@ -1,0 +1,119 @@
+"""Corpus encoding pipeline: stream collection -> host tokenize -> device
+encode (batched, jit) -> per-term impact gather -> forward index.
+
+Replaces the reference Indexer (src/deep_impact/indexing/indexer.py:12-68):
+DataParallel scatter becomes data-axis sharding handled inside the jitted
+forward; the mp.Pool tokenizer becomes an overlapped producer so host
+tokenization hides behind device steps.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from pathlib import Path
+from queue import Queue
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from ..core.config import IndexConfig
+from ..core.logging import get_logger
+from ..data.datasets import stream_collection
+from ..text.processor import DocumentEncoding
+from .forward_index import format_line
+from .inverted import InvertedIndexData
+
+logger = get_logger("indexer")
+PathLike = Union[str, Path]
+
+
+def _tokenize_producer(model, docs: Iterator[str], batch_size: int, queue: Queue):
+    batch: List[DocumentEncoding] = []
+    for doc in docs:
+        batch.append(model.process_document(doc))
+        if len(batch) == batch_size:
+            queue.put(batch)
+            batch = []
+    if batch:
+        queue.put(batch)
+    queue.put(None)
+
+
+class Indexer:
+    """Streams a collection through the encoder, emitting per-document
+    (term, impact) lists — to a forward-index file, or accumulated in memory
+    for direct inverted-index construction."""
+
+    def __init__(self, model, config: IndexConfig = IndexConfig()):
+        self.model = model
+        self.config = config
+
+    def encode_documents(
+        self, documents: Iterable[str]
+    ) -> Iterator[List[Tuple[str, float]]]:
+        """Yield [(term, impact), ...] per document, overlapping host
+        tokenization with device compute via a bounded queue."""
+        queue: Queue = Queue(maxsize=4)
+        producer = threading.Thread(
+            target=_tokenize_producer,
+            args=(self.model, iter(documents), self.config.model_batch_size, queue),
+            daemon=True,
+        )
+        producer.start()
+        while True:
+            batch = queue.get()
+            if batch is None:
+                break
+            scores, terms = self.model.encode_term_scores(
+                batch, max_terms=self.config.max_terms
+            )
+            for i, doc_terms in enumerate(terms):
+                yield [(t, float(scores[i, j])) for j, t in enumerate(doc_terms)]
+        producer.join()
+
+    def index_to_file(
+        self,
+        collection_path: PathLike,
+        output_file_path: PathLike,
+        collection_type: str = "msmarco",
+        log_every: int = 10000,
+    ) -> int:
+        """Write the forward index ("term: score" lines, reference format).
+        Returns documents processed."""
+        start = time.time()
+        count = 0
+        docs = (passage for _, passage in stream_collection(collection_path, collection_type))
+        with open(output_file_path, "w", encoding="utf-8") as out:
+            for term_impacts in self.encode_documents(docs):
+                out.write(format_line(term_impacts, self.config.round_decimals) + "\n")
+                count += 1
+                if count % log_every == 0:
+                    rate = count / (time.time() - start)
+                    logger.info(f"indexed {count} passages [{rate:.2f} passages/s]")
+        return count
+
+    def build_inverted(
+        self,
+        documents: Sequence[str],
+        quantize_bits: Optional[int] = None,
+    ) -> Tuple[InvertedIndexData, float]:
+        """End-to-end in-memory build: encode -> global-max quantize ->
+        postings.  Returns (index, max_impact used as the quantization range).
+        """
+        if quantize_bits is None:
+            quantize_bits = self.config.quantization_bits
+        per_doc: List[List[Tuple[str, float]]] = list(self.encode_documents(documents))
+        max_val = 0.0
+        for doc in per_doc:
+            for _, v in doc:
+                max_val = max(max_val, v)
+        if max_val <= 0:
+            max_val = 1.0
+        scale = ((1 << quantize_bits) - 1) / max_val
+
+        def gen():
+            for doc_id, doc in enumerate(per_doc):
+                yield doc_id, {t: int(v * scale) for t, v in doc}
+
+        return InvertedIndexData.build(gen(), num_docs=len(per_doc)), max_val

@@ -1,0 +1,203 @@
+"""Transformer encoder trunk + impact heads (flax).
+
+TPU-first re-design of the reference encoder stack
+(src/deep_impact/models/original.py:41-94, xlmr_original.py:31-85): a
+BERT/RoBERTa/XLM-R geometry trunk whose last hidden state feeds a
+``Linear(hidden, 1)`` impact head with ReLU (DeepImpact) or Softplus
+(XLM-R variant).  Differences from the torch reference are deliberate:
+
+- parameters stay fp32, matmuls run in bfloat16 via the ``dtype`` policy so
+  the MXU is fed natively (replacing CUDA AMP autocast);
+- everything is a pure function of (params, batch) so it jits/pjits; no
+  module state, no device placement in the model;
+- attention uses one fused ``jnp.einsum`` per projection over [B, L, H] —
+  XLA tiles these onto the MXU.
+
+HF checkpoints import via models.hf_import (geometry is kept identical).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..core.config import EncoderConfig
+
+
+def _dtype(config: EncoderConfig):
+    return jnp.dtype(config.dtype)
+
+
+def make_position_ids(input_ids: jnp.ndarray, config: EncoderConfig) -> jnp.ndarray:
+    """BERT: arange.  RoBERTa-family (position_offset > 0): positions count
+    only non-pad tokens and are offset past the pad id, matching HF
+    ``create_position_ids_from_input_ids`` so imported position embeddings
+    line up."""
+    bsz, seq = input_ids.shape
+    if config.position_offset == 0:
+        return jnp.broadcast_to(jnp.arange(seq, dtype=jnp.int32)[None, :], (bsz, seq))
+    mask = (input_ids != config.pad_token_id).astype(jnp.int32)
+    incremental = jnp.cumsum(mask, axis=1) * mask
+    return incremental + config.pad_token_id
+
+
+class Embeddings(nn.Module):
+    config: EncoderConfig
+
+    @nn.compact
+    def __call__(self, input_ids, type_ids, deterministic: bool = True):
+        c = self.config
+        word = nn.Embed(c.vocab_size, c.hidden_size, name="word_embeddings")(input_ids)
+        pos_ids = make_position_ids(input_ids, c)
+        pos = nn.Embed(
+            c.max_position_embeddings, c.hidden_size, name="position_embeddings"
+        )(pos_ids)
+        typ = nn.Embed(c.type_vocab_size, c.hidden_size, name="token_type_embeddings")(
+            type_ids
+        )
+        x = word + pos + typ
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="layer_norm")(x)
+        x = nn.Dropout(c.hidden_dropout)(x, deterministic=deterministic)
+        return x.astype(_dtype(c))
+
+
+class SelfAttention(nn.Module):
+    config: EncoderConfig
+
+    @nn.compact
+    def __call__(self, x, attention_bias, deterministic: bool = True):
+        c = self.config
+        head_dim = c.hidden_size // c.num_heads
+        dt = _dtype(c)
+        dense = lambda name: nn.DenseGeneral(
+            (c.num_heads, head_dim), dtype=dt, name=name
+        )
+        q = dense("query")(x)
+        k = dense("key")(x)
+        v = dense("value")(x)
+        # [B, H, Lq, Lk] logits in fp32 for a stable softmax.
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+        logits = logits / jnp.sqrt(head_dim).astype(jnp.float32)
+        logits = logits + attention_bias
+        probs = jax.nn.softmax(logits, axis=-1).astype(dt)
+        probs = nn.Dropout(c.attention_dropout)(probs, deterministic=deterministic)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        out = nn.DenseGeneral(
+            c.hidden_size, axis=(-2, -1), dtype=dt, name="output_dense"
+        )(ctx)
+        return out, probs
+
+
+class EncoderLayer(nn.Module):
+    config: EncoderConfig
+
+    @nn.compact
+    def __call__(self, x, attention_bias, deterministic: bool = True):
+        c = self.config
+        dt = _dtype(c)
+        attn_out, probs = SelfAttention(c, name="attention")(
+            x, attention_bias, deterministic
+        )
+        attn_out = nn.Dropout(c.hidden_dropout)(attn_out, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="attention_norm")(
+            (x + attn_out).astype(jnp.float32)
+        ).astype(dt)
+
+        h = nn.Dense(c.intermediate_size, dtype=dt, name="intermediate")(x)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(c.hidden_size, dtype=dt, name="output")(h)
+        h = nn.Dropout(c.hidden_dropout)(h, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="output_norm")(
+            (x + h).astype(jnp.float32)
+        ).astype(dt)
+        return x, probs
+
+
+class TransformerEncoder(nn.Module):
+    """BERT-family trunk returning the last hidden state [B, L, H] (fp32)."""
+
+    config: EncoderConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids,
+        attention_mask,
+        type_ids=None,
+        deterministic: bool = True,
+        output_attentions: bool = False,
+    ):
+        c = self.config
+        if type_ids is None:
+            type_ids = jnp.zeros_like(input_ids)
+        x = Embeddings(c, name="embeddings")(input_ids, type_ids, deterministic)
+        # additive attention bias: 0 for real tokens, large negative for pads.
+        bias = jnp.where(
+            attention_mask[:, None, None, :].astype(bool), 0.0, jnp.finfo(jnp.float32).min
+        ).astype(jnp.float32)
+        attentions = []
+        for i in range(c.num_layers):
+            x, probs = EncoderLayer(c, name=f"layer_{i}")(x, bias, deterministic)
+            if output_attentions:
+                attentions.append(probs.astype(jnp.float32))
+        x = x.astype(jnp.float32)
+        if output_attentions:
+            return x, attentions
+        return x
+
+
+class ImpactHead(nn.Module):
+    """Linear(hidden, 1) + ReLU | Softplus — one scalar impact per token
+    (reference original.py:44-47, xlmr_original.py:34-38)."""
+
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, hidden_states):
+        score = nn.Dense(1, dtype=jnp.float32, name="dense")(hidden_states)
+        if self.activation == "relu":
+            return nn.relu(score)
+        if self.activation == "softplus":
+            return nn.softplus(score)
+        raise ValueError(f"unknown impact activation {self.activation}")
+
+
+class DeepImpactModel(nn.Module):
+    """Trunk + per-token impact head -> [B, L, 1] impact scores."""
+
+    config: EncoderConfig
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask, type_ids=None, deterministic=True):
+        hidden = TransformerEncoder(self.config, name="encoder")(
+            input_ids, attention_mask, type_ids, deterministic
+        )
+        return ImpactHead(self.config.impact_activation, name="impact_head")(hidden)
+
+
+class CrossEncoderModel(nn.Module):
+    """Trunk + head on the [CLS] hidden state -> [B, 1] relevance score
+    (reference models/cross_encoder.py:9-37)."""
+
+    config: EncoderConfig
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask, type_ids=None, deterministic=True):
+        hidden = TransformerEncoder(self.config, name="encoder")(
+            input_ids, attention_mask, type_ids, deterministic
+        )
+        return ImpactHead(self.config.impact_activation, name="impact_head")(
+            hidden[:, 0, :]
+        )
+
+
+def init_params(
+    model: nn.Module, config: EncoderConfig, rng: jax.Array, max_length: int = 16
+) -> Dict[str, Any]:
+    dummy = jnp.ones((1, max_length), dtype=jnp.int32)
+    return model.init(
+        {"params": rng}, dummy, jnp.ones_like(dummy), jnp.zeros_like(dummy)
+    )["params"]

@@ -1,0 +1,17 @@
+from .mesh import (
+    data_sharding,
+    make_mesh,
+    pad_to_multiple,
+    replicated,
+    shard_batch,
+    single_device_mesh,
+)
+
+__all__ = [
+    "data_sharding",
+    "make_mesh",
+    "pad_to_multiple",
+    "replicated",
+    "shard_batch",
+    "single_device_mesh",
+]

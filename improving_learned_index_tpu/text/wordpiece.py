@@ -1,0 +1,108 @@
+"""Self-contained WordPiece subword tokenizer.
+
+Greedy longest-match-first with ``##`` continuation pieces — the same
+algorithm as BERT's WordPiece, so a ``vocab.txt`` from any BERT-family
+checkpoint drops in directly.  Also provides corpus-driven vocabulary
+construction for hermetic tests and zero-network environments.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from pathlib import Path
+from typing import Dict, Iterable, List, Optional, Union
+
+from .normalize import normalize, pretokenize
+
+PAD, UNK, CLS, SEP, MASK = "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"
+SPECIAL_TOKENS = [PAD, UNK, CLS, SEP, MASK]
+
+
+class WordPieceVocab:
+    def __init__(self, tokens: List[str]):
+        self.id_to_token = list(tokens)
+        self.token_to_id: Dict[str, int] = {t: i for i, t in enumerate(tokens)}
+        for tok in SPECIAL_TOKENS:
+            if tok not in self.token_to_id:
+                raise ValueError(f"vocab missing special token {tok}")
+        self.pad_id = self.token_to_id[PAD]
+        self.unk_id = self.token_to_id[UNK]
+        self.cls_id = self.token_to_id[CLS]
+        self.sep_id = self.token_to_id[SEP]
+
+    def __len__(self) -> int:
+        return len(self.id_to_token)
+
+    def save(self, path: Union[str, Path]) -> None:
+        with open(path, "w", encoding="utf-8") as f:
+            for tok in self.id_to_token:
+                f.write(tok + "\n")
+
+    @classmethod
+    def load(cls, path: Union[str, Path]) -> "WordPieceVocab":
+        with open(path, encoding="utf-8") as f:
+            return cls([line.rstrip("\n") for line in f if line.rstrip("\n")])
+
+    @classmethod
+    def build(
+        cls,
+        texts: Iterable[str],
+        max_size: int = 8192,
+        min_freq: int = 1,
+        lowercase: bool = True,
+    ) -> "WordPieceVocab":
+        """Build a vocabulary: all single characters + frequent whole words.
+
+        Whole words that fit the budget become single tokens; everything else
+        decomposes to characters (guaranteeing no UNK for seen characters).
+        """
+        word_counts: Counter = Counter()
+        char_set = set()
+        for text in texts:
+            for term in pretokenize(normalize(text, lowercase=lowercase)):
+                word_counts[term] += 1
+                for i, ch in enumerate(term):
+                    char_set.add(ch if i == 0 else f"##{ch}")
+        tokens = list(SPECIAL_TOKENS)
+        tokens.extend(sorted(char_set))
+        seen = set(tokens)
+        for word, cnt in word_counts.most_common():
+            if len(tokens) >= max_size:
+                break
+            if cnt < min_freq or word in seen or len(word) <= 1:
+                continue
+            tokens.append(word)
+            seen.add(word)
+        return cls(tokens)
+
+
+class WordPieceTokenizer:
+    """Greedy longest-match WordPiece over a fixed vocab."""
+
+    def __init__(self, vocab: WordPieceVocab, max_chars_per_word: int = 100):
+        self.vocab = vocab
+        self.max_chars_per_word = max_chars_per_word
+
+    def tokenize_word(self, word: str) -> List[int]:
+        if len(word) > self.max_chars_per_word:
+            return [self.vocab.unk_id]
+        ids: List[int] = []
+        start = 0
+        n = len(word)
+        while start < n:
+            end = n
+            cur = None
+            while start < end:
+                piece = word[start:end]
+                if start > 0:
+                    piece = "##" + piece
+                tid = self.vocab.token_to_id.get(piece)
+                if tid is not None:
+                    cur = tid
+                    break
+                end -= 1
+            if cur is None:
+                return [self.vocab.unk_id]
+            ids.append(cur)
+            start = end
+        return ids

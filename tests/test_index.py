@@ -1,0 +1,154 @@
+"""Index pipeline tests: quantization parity, forward-index format,
+binary inverted-index layout (validated with raw struct against the
+reference's on-disk format), and search-engine agreement."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from improving_learned_index_tpu.index import (
+    ForwardIndex,
+    InvertedIndexData,
+    format_line,
+    parse_line,
+    quantize_file,
+)
+from improving_learned_index_tpu.ops.quantize import (
+    quantize_scale,
+    quantize_value,
+)
+from improving_learned_index_tpu.search import DeviceSearchEngine, InvertedIndex
+
+
+def test_quantize_exact_parity():
+    # Reference formula: scale = 255 / max; q = int(score * scale)
+    max_val = 3.7
+    scale = quantize_scale(max_val)
+    assert scale == 255 / 3.7
+    for score in [0.0, 0.001, 1.234, 3.7, 2.49999, 0.0145]:
+        assert quantize_value(score, scale) == int(score * scale)
+    assert quantize_value(max_val, scale) == 255
+
+
+def test_forward_index_format_roundtrip(tmp_path):
+    line = format_line([("hello", 1.23456), ("world", 0.5)])
+    assert line == "hello: 1.235, world: 0.5"
+    parsed = parse_line(line)
+    assert parsed == {"hello": 1.235, "world": 0.5}
+
+
+def test_quantize_file_drops_zeros(tmp_path):
+    inp = tmp_path / "fwd.txt"
+    out = tmp_path / "fwd.q.txt"
+    inp.write_text("a: 2.0, b: 0.001\nc: 1.0\n")
+    max_val = quantize_file(inp, out)
+    assert max_val == 2.0
+    lines = out.read_text().splitlines()
+    # b quantizes to int(0.001 * 127.5) = 0 -> dropped
+    assert lines[0] == "a: 255"
+    assert lines[1] == f"c: {int(1.0 * 255 / 2.0)}"
+
+
+DOCS = [
+    {"apple": 200, "banana": 100},
+    {"apple": 150, "cherry": 50},
+    {"banana": 250, "cherry": 10, "apple": 5},
+]
+
+
+def _build():
+    return InvertedIndexData.build(enumerate(DOCS), num_docs=3)
+
+
+def test_inverted_build_sorted_vocab_and_impact_order():
+    idx = _build()
+    assert idx.vocab == ["apple", "banana", "cherry"]
+    docs, imps = idx.term_postings("apple")
+    # impact-descending: doc0 (200), doc1 (150), doc2 (5)
+    np.testing.assert_array_equal(docs, [0, 1, 2])
+    np.testing.assert_array_equal(imps, [200, 150, 5])
+    docs, imps = idx.term_postings("banana")
+    np.testing.assert_array_equal(docs, [2, 0])
+    np.testing.assert_array_equal(imps, [250, 100])
+
+
+def test_binary_layout_matches_reference_struct(tmp_path):
+    """Validate serialized bytes with the exact struct formats the reference
+    reads: '<I'+'B' postings records, '<QQ' offsets
+    (reference utils/defaults.py:26-37, inverted_index/inverted_index.py:31-53)."""
+    idx = _build()
+    idx.save(tmp_path)
+
+    vocab = (tmp_path / "vocab.txt").read_text().splitlines()
+    assert vocab == ["apple", "banana", "cherry"]
+
+    dat = (tmp_path / "inverted_index.dat").read_bytes()
+    idx_bytes = (tmp_path / "inverted_index.idx").read_bytes()
+    assert len(dat) == 7 * 5  # 7 postings, 5 bytes each
+    assert len(idx_bytes) == 3 * 16  # 3 terms, 16 bytes each
+
+    # Read term 'banana' (id 1) exactly the way the reference engine does.
+    start, end = struct.unpack("<QQ", idx_bytes[1 * 16 : 2 * 16])
+    records = []
+    pos = start
+    while pos < end:
+        doc_id, impact = struct.unpack("<IB", dat[pos : pos + 5])
+        records.append((doc_id, impact))
+        pos += 5
+    assert records == [(2, 250), (0, 100)]
+
+
+def test_inverted_save_load_roundtrip(tmp_path):
+    idx = _build()
+    idx.save(tmp_path)
+    loaded = InvertedIndexData.load(tmp_path, num_docs=3)
+    assert loaded.vocab == idx.vocab
+    np.testing.assert_array_equal(loaded.doc_ids, idx.doc_ids)
+    np.testing.assert_array_equal(loaded.impacts, idx.impacts)
+    np.testing.assert_array_equal(loaded.offsets, idx.offsets)
+
+
+def test_host_engine_scoring():
+    engine = InvertedIndex(_build())
+    top = engine.score({"apple", "banana"}, top_k=10)
+    scores = dict(top)
+    assert scores == {0: 300, 1: 150, 2: 255}
+    assert top[0][0] == 0  # highest first
+    # batch path agrees
+    batch = engine.score_batch([{"apple", "banana"}], top_k=10)[0]
+    assert dict(batch) == scores
+
+
+def test_device_engine_matches_host():
+    idx = _build()
+    host = InvertedIndex(idx)
+    device = DeviceSearchEngine(idx)
+    queries = [
+        {"apple", "banana"},
+        {"cherry"},
+        {"missing"},
+        {"apple", "banana", "cherry", "missing"},
+    ]
+    host_res = host.score_batch(queries, top_k=3)
+    dev_res = device.score_batch(queries, top_k=3)
+    for h, d in zip(host_res, dev_res):
+        assert dict(h) == dict(d)
+
+
+def test_device_engine_large_random():
+    rng = np.random.default_rng(0)
+    num_docs, vocab_size = 500, 50
+    docs = []
+    for _ in range(num_docs):
+        terms = rng.choice(vocab_size, size=rng.integers(1, 20), replace=False)
+        docs.append({f"t{t}": int(rng.integers(1, 255)) for t in terms})
+    idx = InvertedIndexData.build(enumerate(docs), num_docs=num_docs)
+    host = InvertedIndex(idx)
+    device = DeviceSearchEngine(idx)
+    queries = [
+        {f"t{t}" for t in rng.choice(vocab_size, size=rng.integers(1, 8), replace=False)}
+        for _ in range(7)
+    ]
+    for h, d in zip(host.score_batch(queries, 1000), device.score_batch(queries, 1000)):
+        assert dict(h) == dict(d)
