@@ -1,0 +1,63 @@
+"""SparseSearch: encode a corpus in memory and score queries on device.
+
+Capability parity with the reference SparseSearch
+(src/deep_impact/evaluation/nano_beir_evaluator.py:70-137): builds an
+in-memory inverted index from ``get_impact_scores_batch`` keeping only
+positive scores, then scores each query by summing matched impacts and
+taking top-k.  The per-query Python accumulation loop becomes one batched
+device call (search.device_engine).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from ..core.config import SearchConfig
+from ..core.logging import get_logger
+from ..search.device_engine import DeviceSearchEngine
+
+logger = get_logger("sparse_search", stream=False)
+
+
+class SparseSearch:
+    def __init__(self, model, batch_size: int = 16, verbose: bool = False):
+        self.model = model
+        self.batch_size = batch_size
+        self.verbose = verbose
+        self.engine: Optional[DeviceSearchEngine] = None
+        self.corpus_ids: List[str] = []
+
+    def _build_index(self, corpus: Dict[str, str]) -> None:
+        self.corpus_ids = list(corpus.keys())
+        texts = list(corpus.values())
+
+        def impacts():
+            for i in range(0, len(texts), self.batch_size):
+                batch = texts[i : i + self.batch_size]
+                for doc_impacts in self.model.get_impact_scores_batch(batch):
+                    yield doc_impacts
+
+        self.engine = DeviceSearchEngine.from_term_impacts(impacts())
+        if self.verbose:
+            logger.info(
+                f"built in-memory index: {len(self.engine.vocab)} terms over "
+                f"{len(self.corpus_ids)} docs"
+            )
+
+    def search(
+        self, queries: Dict[str, str], corpus: Dict[str, str], k: int = 1000
+    ) -> Dict[str, Dict[str, float]]:
+        if self.engine is None:
+            self._build_index(corpus)
+        qids = list(queries.keys())
+        term_sets = [self.model.process_query(queries[qid]) for qid in qids]
+        results: Dict[str, Dict[str, float]] = {}
+        bs = max(self.batch_size, 16)
+        for i in range(0, len(qids), bs):
+            batch_sets = term_sets[i : i + bs]
+            scored = self.engine.score_batch(batch_sets, top_k=k)
+            for qid, ranked in zip(qids[i : i + bs], scored):
+                results[qid] = {
+                    self.corpus_ids[doc]: float(score) for doc, score in ranked
+                }
+        return results

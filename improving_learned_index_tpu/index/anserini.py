@@ -1,0 +1,27 @@
+"""Anserini JsonVectorCollection export for interop
+(reference src/deep_impact/indexing/convert_to_anserini.py:9-24; README route
+Anserini -> CIFF -> PISA)."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Union
+
+from .forward_index import parse_line
+
+PathLike = Union[str, Path]
+
+
+def convert_to_anserini(input_file_path: PathLike, output_file_path: PathLike) -> int:
+    """Forward index lines -> JSONL {"id", "contents": "", "vector": {...}}."""
+    n = 0
+    with open(input_file_path, encoding="utf-8") as f, open(
+        output_file_path, "w", encoding="utf-8"
+    ) as out:
+        for doc_id, line in enumerate(f):
+            vector = {t: float(v) for t, v in parse_line(line).items()}
+            json.dump({"id": doc_id, "contents": "", "vector": vector}, out)
+            out.write("\n")
+            n += 1
+    return n

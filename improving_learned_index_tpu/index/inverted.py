@@ -164,10 +164,13 @@ class InvertedIndexData:
         locs = np.fromfile(path / INVERTED_INDEX_INDEX, dtype=_LOC_DTYPE).reshape(-1, 2)
         assert locs.shape[0] == len(vocab), "idx/vocab size mismatch"
         offsets = np.zeros(len(vocab) + 1, dtype=np.int64)
-        offsets[:-1] = locs[:, 0] // DOC_SCORE_BLOCK_BYTES
-        offsets[-1] = locs[-1, 1] // DOC_SCORE_BLOCK_BYTES
-        # Reference .idx ranges are contiguous; trust ends for safety.
-        assert np.all(locs[:, 1] // DOC_SCORE_BLOCK_BYTES == offsets[1:]), "non-contiguous postings"
+        if len(vocab):
+            offsets[:-1] = locs[:, 0] // DOC_SCORE_BLOCK_BYTES
+            offsets[-1] = locs[-1, 1] // DOC_SCORE_BLOCK_BYTES
+            # Reference .idx ranges are contiguous; trust ends for safety.
+            assert np.all(
+                locs[:, 1] // DOC_SCORE_BLOCK_BYTES == offsets[1:]
+            ), "non-contiguous postings"
         return cls(
             vocab,
             offsets,

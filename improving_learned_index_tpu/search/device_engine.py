@@ -67,21 +67,72 @@ def _score_chunks(
 class DeviceSearchEngine:
     """Batched impact scoring with postings resident in device memory."""
 
-    def __init__(self, index: InvertedIndexData, config: SearchConfig = SearchConfig()):
+    def __init__(
+        self,
+        index: Optional[InvertedIndexData] = None,
+        config: SearchConfig = SearchConfig(),
+        *,
+        vocab: Optional[dict] = None,
+        offsets: Optional[np.ndarray] = None,
+        doc_ids: Optional[np.ndarray] = None,
+        impacts: Optional[np.ndarray] = None,
+        num_docs: Optional[int] = None,
+    ):
         self.config = config
-        self.vocab = index.term_to_id
-        self.offsets = index.offsets  # host int64 [V+1]
-        self.num_docs = max(int(index.num_docs), 1)
-        n = max(len(index.doc_ids), 1)
+        if index is not None:
+            vocab = index.term_to_id
+            offsets = index.offsets
+            doc_ids = index.doc_ids
+            impacts = index.impacts
+            num_docs = index.num_docs
+        self.vocab = vocab
+        self.offsets = np.asarray(offsets, dtype=np.int64)  # host [V+1]
+        self.num_docs = max(int(num_docs), 1)
+        has = len(doc_ids) > 0
         self.doc_ids = jax.device_put(
-            np.ascontiguousarray(index.doc_ids[:n].astype(np.int32))
-            if len(index.doc_ids)
+            np.ascontiguousarray(np.asarray(doc_ids, dtype=np.int32))
+            if has
             else np.zeros(1, np.int32)
         )
         self.impacts = jax.device_put(
-            np.ascontiguousarray(index.impacts[:n].astype(np.float32))
-            if len(index.impacts)
+            np.ascontiguousarray(np.asarray(impacts, dtype=np.float32))
+            if has
             else np.zeros(1, np.float32)
+        )
+
+    @classmethod
+    def from_term_impacts(
+        cls,
+        per_doc_impacts,  # iterable of [(term, float score), ...] per doc
+        config: SearchConfig = SearchConfig(),
+    ) -> "DeviceSearchEngine":
+        """Build an in-memory float-impact engine straight from encoder
+        output — the reference SparseSearch in-memory index semantics
+        (nano_beir_evaluator.py:78-101: keep score > 0, no quantization)."""
+        vocab: dict = {}
+        term_ids, docs, vals = [], [], []
+        n_docs = 0
+        for doc_id, impacts in enumerate(per_doc_impacts):
+            n_docs += 1
+            for term, score in impacts:
+                if score <= 0:
+                    continue
+                tid = vocab.setdefault(term, len(vocab))
+                term_ids.append(tid)
+                docs.append(doc_id)
+                vals.append(score)
+        tid_arr = np.asarray(term_ids, dtype=np.int64)
+        order = np.argsort(tid_arr, kind="stable")
+        counts = np.bincount(tid_arr, minlength=len(vocab)) if len(tid_arr) else np.zeros(len(vocab), np.int64)
+        offsets = np.zeros(len(vocab) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        return cls(
+            config=config,
+            vocab=vocab,
+            offsets=offsets,
+            doc_ids=np.asarray(docs, dtype=np.int64)[order] if len(order) else np.empty(0, np.int64),
+            impacts=np.asarray(vals, dtype=np.float32)[order] if len(order) else np.empty(0, np.float32),
+            num_docs=n_docs,
         )
 
     def _chunk_table(
