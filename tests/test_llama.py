@@ -1,0 +1,262 @@
+"""Llama decoder tests: HF logits parity, KV-cache decode consistency,
+sampling filters, LoRA merge semantics."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from improving_learned_index_tpu.core.config import GenerationConfig
+from improving_learned_index_tpu.expand.lora import (
+    LoraConfig,
+    init_lora_params,
+    merge_lora,
+)
+from improving_learned_index_tpu.expand.sampling import Sampler, top_k_top_p_filter
+from improving_learned_index_tpu.models.llama import (
+    LlamaConfig,
+    LlamaModel,
+    hf_llama_to_flax,
+    init_llama_params,
+    llama_param_specs,
+    make_kv_caches,
+)
+
+
+def fp32(cfg: LlamaConfig) -> LlamaConfig:
+    return dataclasses.replace(cfg, dtype="float32")
+
+
+@pytest.fixture(scope="module")
+def hf_llama():
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig as HFConfig, LlamaForCausalLM
+
+    torch.manual_seed(0)
+    hf_cfg = HFConfig(
+        vocab_size=256,
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        intermediate_size=128,
+        max_position_embeddings=128,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+        attention_bias=False,
+    )
+    return LlamaForCausalLM(hf_cfg).eval()
+
+
+def test_hf_logits_parity(hf_llama):
+    import torch
+
+    cfg = fp32(LlamaConfig.tiny())
+    params = hf_llama_to_flax(hf_llama.state_dict(), cfg)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 256, (2, 10)).astype(np.int32)
+
+    with torch.no_grad():
+        ref = hf_llama(torch.tensor(ids, dtype=torch.long)).logits.numpy()
+
+    model = LlamaModel(cfg)
+    got, _ = model.apply(
+        {"params": params}, jnp.asarray(ids), jnp.ones((2, 10), dtype=jnp.int32)
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, atol=3e-4, rtol=3e-4)
+
+
+def test_kv_cache_decode_matches_full_forward():
+    """Greedy decode with the cache must equal re-running the full prompt."""
+    cfg = fp32(LlamaConfig.tiny())
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    model = LlamaModel(cfg)
+    rng = np.random.default_rng(1)
+    prompt = rng.integers(0, 256, (2, 6)).astype(np.int32)
+    mask = np.ones((2, 6), dtype=np.int32)
+
+    # full forward on prompt + 2 extra tokens
+    extra = rng.integers(0, 256, (2, 2)).astype(np.int32)
+    full_ids = np.concatenate([prompt, extra], axis=1)
+    full_logits, _ = model.apply(
+        {"params": params}, jnp.asarray(full_ids), jnp.ones_like(jnp.asarray(full_ids))
+    )
+
+    # cached: prefill prompt, then decode the two extra tokens step by step
+    caches = make_kv_caches(cfg, 2, 8, dtype=jnp.float32)
+    slot_mask = np.zeros((2, 8), dtype=np.int32)
+    slot_mask[:, :6] = 1
+    logits, caches = model.apply(
+        {"params": params},
+        jnp.asarray(prompt),
+        jnp.asarray(slot_mask),
+        kv_caches=caches,
+        cache_index=0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(full_logits[:, :6]), atol=1e-4, rtol=1e-4
+    )
+    for t in range(2):
+        slot_mask[:, 6 + t] = 1
+        pos = np.full((2, 1), 6 + t, dtype=np.int32)
+        step_logits, caches = model.apply(
+            {"params": params},
+            jnp.asarray(extra[:, t : t + 1]),
+            jnp.asarray(slot_mask),
+            positions=jnp.asarray(pos),
+            kv_caches=caches,
+            cache_index=6 + t,
+        )
+        np.testing.assert_allclose(
+            np.asarray(step_logits[:, 0]),
+            np.asarray(full_logits[:, 6 + t]),
+            atol=1e-4,
+            rtol=1e-4,
+        )
+
+
+def test_top_k_top_p_matches_hf():
+    torch = pytest.importorskip("torch")
+    from transformers.generation.logits_process import (
+        TopKLogitsWarper,
+        TopPLogitsWarper,
+    )
+
+    rng = np.random.default_rng(2)
+    logits = rng.normal(size=(3, 50)).astype(np.float32)
+    ref = TopKLogitsWarper(top_k=10)(None, torch.tensor(logits))
+    ref = TopPLogitsWarper(top_p=0.9)(None, ref).numpy()
+    got = np.asarray(top_k_top_p_filter(jnp.asarray(logits), 10, 0.9))
+    # same support set (kept tokens) and same kept values
+    np.testing.assert_array_equal(np.isinf(got), np.isinf(ref))
+    keep = ~np.isinf(ref)
+    np.testing.assert_allclose(got[keep], ref[keep], atol=1e-6)
+
+
+def test_greedy_sampler_matches_hf_generate(hf_llama):
+    import torch
+
+    cfg = fp32(LlamaConfig.tiny())
+    params = hf_llama_to_flax(hf_llama.state_dict(), cfg)
+    rng = np.random.default_rng(3)
+    # two prompts, one shorter (left-padded)
+    p0 = rng.integers(3, 256, 5).tolist()
+    p1 = rng.integers(3, 256, 7).tolist()
+    max_len = 7
+    ids = np.zeros((2, max_len), dtype=np.int32)
+    mask = np.zeros((2, max_len), dtype=np.int32)
+    ids[0, 2:] = p0
+    mask[0, 2:] = 1
+    ids[1, :] = p1
+    mask[1, :] = 1
+
+    gen = GenerationConfig(num_return_sequences=1, max_new_tokens=6, do_sample=False)
+    sampler = Sampler(cfg, gen, eos_token_id=2)
+    got = sampler.generate(params, ids, mask, num_return_sequences=1, seed=0)
+
+    # Reference 1: greedy continuation via repeated *full* forwards on our
+    # own model (no cache) — validates the Sampler's left-padding, position,
+    # and cache plumbing end to end.
+    model = LlamaModel(cfg)
+    cur_ids, cur_mask = ids.copy(), mask.copy()
+    ref_rows = [[] for _ in range(2)]
+    for _ in range(6):
+        logits, _ = model.apply(
+            {"params": params}, jnp.asarray(cur_ids), jnp.asarray(cur_mask)
+        )
+        nxt = np.asarray(jnp.argmax(logits[:, -1, :], axis=-1)).astype(np.int32)
+        for r in range(2):
+            ref_rows[r].append(int(nxt[r]))
+        cur_ids = np.concatenate([cur_ids, nxt[:, None]], axis=1)
+        cur_mask = np.concatenate([cur_mask, np.ones((2, 1), np.int32)], axis=1)
+    np.testing.assert_array_equal(got, np.asarray(ref_rows, dtype=np.int32))
+
+    # Reference 2: the first greedy token agrees with HF generate (random
+    # tiny weights produce near-tied logits after a few steps, so longer
+    # exact agreement across frameworks is not numerically meaningful).
+    with torch.no_grad():
+        ref = hf_llama.generate(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+            max_new_tokens=1,
+            do_sample=False,
+            eos_token_id=2,
+            pad_token_id=2,
+        )[:, max_len:].numpy()
+    np.testing.assert_array_equal(got[:, :1], ref)
+
+
+def test_lora_zero_init_is_identity_and_merge_changes():
+    cfg = fp32(LlamaConfig.tiny())
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    lcfg = LoraConfig(r=4, alpha=8)
+    lora = init_lora_params(params, lcfg, jax.random.PRNGKey(1))
+
+    merged = merge_lora(params, lora, lcfg)
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(merged)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))  # B=0 -> identity
+
+    # set a nonzero B on one adapter and check exact delta
+    node = lora["layer_0"]["attention"]["q_proj"]["kernel"]
+    node["lora_b"] = jnp.ones_like(node["lora_b"])
+    merged = merge_lora(params, lora, lcfg)
+    base = np.asarray(params["layer_0"]["attention"]["q_proj"]["kernel"])
+    got = np.asarray(merged["layer_0"]["attention"]["q_proj"]["kernel"])
+    expected_delta = (
+        np.asarray(node["lora_a"]) @ np.ones((4, base.shape[1] * base.shape[2]))
+    ) * lcfg.scaling
+    np.testing.assert_allclose(got - base, expected_delta.reshape(base.shape), atol=1e-5)
+
+
+def test_param_specs_cover_tree():
+    from jax.sharding import PartitionSpec as P
+
+    cfg = LlamaConfig.tiny()
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    specs = llama_param_specs(params)
+    flat = jax.tree_util.tree_leaves_with_path(specs)
+    names = ["/".join(str(getattr(p, "key", p)) for p in path) for path, _ in flat]
+    sharded = [s for _, s in flat if s != P()]
+    assert len(sharded) >= cfg.num_layers * 7  # all projections + embeddings
+    assert any("embed_tokens" in n for n in names)
+
+
+def test_tensor_parallel_forward_matches(cpu_devices):
+    """Forward with TP-sharded params over a model=4 mesh axis equals the
+    unsharded forward (XLA inserts the collectives)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from improving_learned_index_tpu.core.config import MeshConfig
+    from improving_learned_index_tpu.parallel import make_mesh
+
+    cfg = fp32(LlamaConfig.tiny())
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    model = LlamaModel(cfg)
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(rng.integers(0, 256, (2, 8)), dtype=jnp.int32)
+    mask = jnp.ones((2, 8), dtype=jnp.int32)
+
+    ref, _ = model.apply({"params": params}, ids, mask)
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    specs = llama_param_specs(params, model_parallel_size=4)
+    sharded = jax.tree_util.tree_map(
+        lambda leaf, s: jax.device_put(np.asarray(leaf), NamedSharding(mesh, s)),
+        params,
+        specs,
+    )
+
+    @jax.jit
+    def forward(p, ids, mask):
+        logits, _ = model.apply({"params": p}, ids, mask)
+        return logits
+
+    got = forward(
+        sharded,
+        jax.device_put(ids, NamedSharding(mesh, P("data", None))),
+        jax.device_put(mask, NamedSharding(mesh, P("data", None))),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=2e-4)
