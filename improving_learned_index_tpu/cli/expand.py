@@ -1,0 +1,124 @@
+"""CLI: doc2query expansion generation
+(reference: python -m src.llama2.generate, generate.py:120-206)."""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+from ..core.config import GenerationConfig
+from ..expand.generate import PROMPT_EN, PROMPT_VI, QueryGenerator, generate_expansions
+from ..models.llama import LlamaConfig, hf_llama_to_flax, init_llama_params
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--collection_path", type=Path, required=True)
+    parser.add_argument("--collection_type", choices=["msmarco", "beir"], default="msmarco")
+    parser.add_argument("--output_path", type=Path, required=True)
+    parser.add_argument("--llama_path", type=str, default=None,
+                        help="HF Llama checkpoint dir/id (weights + tokenizer)")
+    parser.add_argument("--peft_path", type=str, default=None,
+                        help="LoRA adapter checkpoint (msgpack from expand.lora)")
+    parser.add_argument("--prompt", choices=["en", "vi"], default="en")
+    parser.add_argument("--batch_size", type=int, default=4)
+    parser.add_argument("--num_docs", type=int, default=None)
+    parser.add_argument("--num_return_sequences", type=int, default=80)
+    parser.add_argument("--max_new_tokens", type=int, default=50)
+    parser.add_argument("--top_k", type=int, default=50)
+    parser.add_argument("--top_p", type=float, default=0.95)
+    parser.add_argument("--max_tokens", type=int, default=350)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--tiny", action="store_true", help="tiny random model (smoke)")
+    args = parser.parse_args(argv)
+
+    gen_cfg = GenerationConfig(
+        num_return_sequences=args.num_return_sequences,
+        max_new_tokens=args.max_new_tokens,
+        top_k=args.top_k,
+        top_p=args.top_p,
+        max_tokens=args.max_tokens,
+    )
+
+    if args.tiny:
+        import jax
+
+        class ByteTokenizer:
+            def encode(self, t):
+                return [1] + [b + 3 for b in t.encode("utf-8")[:200]]
+
+            def decode(self, ids):
+                return bytes(i - 3 for i in ids if i >= 3).decode("utf-8", "ignore")
+
+        config = LlamaConfig.tiny(vocab_size=259)
+        params = init_llama_params(config, jax.random.PRNGKey(args.seed))
+        tokenizer = ByteTokenizer()
+        pad_id, eos_id = 0, 2
+    else:
+        if not args.llama_path:
+            raise SystemExit("--llama_path required (or --tiny for a smoke run)")
+        import torch
+        from transformers import AutoConfig, AutoTokenizer, LlamaForCausalLM
+
+        hf_cfg = AutoConfig.from_pretrained(args.llama_path)
+        config = LlamaConfig(
+            vocab_size=hf_cfg.vocab_size,
+            hidden_size=hf_cfg.hidden_size,
+            num_layers=hf_cfg.num_hidden_layers,
+            num_heads=hf_cfg.num_attention_heads,
+            num_kv_heads=getattr(hf_cfg, "num_key_value_heads", hf_cfg.num_attention_heads),
+            intermediate_size=hf_cfg.intermediate_size,
+            max_position_embeddings=hf_cfg.max_position_embeddings,
+            rms_norm_eps=hf_cfg.rms_norm_eps,
+            rope_theta=getattr(hf_cfg, "rope_theta", 10000.0),
+        )
+        with torch.no_grad():
+            hf_model = LlamaForCausalLM.from_pretrained(args.llama_path)
+            params = hf_llama_to_flax(hf_model.state_dict(), config)
+        del hf_model
+        hf_tok = AutoTokenizer.from_pretrained(args.llama_path)
+        pad_id, eos_id = 0, hf_tok.eos_token_id  # pad=0 != eos (reference generate.py:32)
+
+        class HFTok:
+            def encode(self, t):
+                return hf_tok.encode(t)
+
+            def decode(self, ids):
+                return hf_tok.decode(ids, skip_special_tokens=True)
+
+        tokenizer = HFTok()
+        if args.peft_path:
+            from ..core.checkpoint import load_params
+            from ..expand.lora import LoraConfig, init_lora_params, merge_lora
+            import jax
+
+            lcfg = LoraConfig()
+            lora = load_params(
+                args.peft_path, like=init_lora_params(params, lcfg, jax.random.PRNGKey(0))
+            )
+            params = merge_lora(params, lora, lcfg)
+
+    generator = QueryGenerator(
+        params,
+        config,
+        tokenizer,
+        gen_cfg,
+        prompt_template=PROMPT_VI if args.prompt == "vi" else PROMPT_EN,
+        pad_token_id=pad_id,
+        eos_token_id=eos_id,
+    )
+    n = generate_expansions(
+        generator,
+        args.collection_path,
+        args.output_path,
+        args.collection_type,
+        batch_size=args.batch_size,
+        num_docs=args.num_docs,
+        seed=args.seed,
+    )
+    print(f"expanded {n} documents -> {args.output_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

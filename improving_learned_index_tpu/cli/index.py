@@ -1,0 +1,44 @@
+"""CLI: encode a collection into a forward index
+(reference: python -m src.deep_impact.index, src/deep_impact/index.py:47-68).
+
+    python -m improving_learned_index_tpu.cli.index \
+        --collection_path collection.tsv --output_file_path collection.index \
+        --vocab_path vocab.txt --checkpoint model.msgpack
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+from ..core.config import IndexConfig
+from ..index.indexer import Indexer
+from .common import add_model_args, build_model
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_model_args(parser)
+    parser.add_argument("--collection_path", type=Path, required=True)
+    parser.add_argument("--collection_type", choices=["msmarco", "beir"], default="msmarco")
+    parser.add_argument("--output_file_path", type=Path, required=True)
+    parser.add_argument("--model_batch_size", type=int, default=32)
+    parser.add_argument("--max_terms", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    model = build_model(args)
+    max_length = args.max_length or model.max_length
+    config = IndexConfig(
+        max_length=max_length,
+        max_terms=args.max_terms or max_length,
+        model_batch_size=args.model_batch_size,
+    )
+    n = Indexer(model, config).index_to_file(
+        args.collection_path, args.output_file_path, args.collection_type
+    )
+    print(f"indexed {n} documents -> {args.output_file_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,43 @@
+"""CLI: rank queries over an inverted index into a run file
+(reference: python -m src.deep_impact.rank, rank.py:6-22)."""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+from ..evaluation.ranker import Ranker
+from .common import add_model_args, build_tokenizer
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_model_args(parser)
+    parser.add_argument("--index_path", type=Path, required=True)
+    parser.add_argument("--queries_path", type=Path, required=True)
+    parser.add_argument("--output_path", type=Path, required=True)
+    parser.add_argument("--qrels_path", type=Path, default=None)
+    parser.add_argument("--dataset_type", choices=["msmarco", "beir"], default="msmarco")
+    parser.add_argument("--pairwise", action="store_true")
+    parser.add_argument("--engine", choices=["device", "host", "native"], default="device")
+    parser.add_argument("--top_k", type=int, default=1000)
+    args = parser.parse_args(argv)
+
+    ranker = Ranker(
+        index_path=args.index_path,
+        queries_path=args.queries_path,
+        output_path=args.output_path,
+        tokenizer=build_tokenizer(args),
+        qrels_path=args.qrels_path,
+        dataset_type=args.dataset_type,
+        pairwise=args.pairwise,
+        engine=args.engine,
+        top_k=args.top_k,
+    )
+    n = ranker.run()
+    print(f"ranked {n} queries -> {args.output_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

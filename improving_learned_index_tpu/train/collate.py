@@ -100,10 +100,30 @@ def collate_cross_encoder(
     return arrays
 
 
+def collate_pairwise_impact(
+    batch: Sequence[Tuple[str, str, str]],
+    tokenizer,
+    max_length: int,
+    max_pairs: int = 256,
+) -> Dict[str, np.ndarray]:
+    """Triples collate + directed pair slots built from the query-matching
+    token indices (reference training/pairwise_trainer.py:11-17: nonzero
+    mask indices, combinations in both orders)."""
+    from ..models.pairwise import build_pair_slots
+
+    arrays = collate_triples(batch, tokenizer, max_length)
+    token_indices = [np.flatnonzero(m).tolist() for m in arrays["masks"]]
+    pair_idx, pair_mask = build_pair_slots(token_indices, max_pairs, directed=True)
+    arrays["pair_indices"] = pair_idx
+    arrays["pair_mask"] = pair_mask
+    return arrays
+
+
 COLLATES = {
     "pairwise_ce": collate_triples,
     "distil_kl": collate_distillation,
     "distil_mse": collate_distillation,
     "in_batch_negatives": collate_in_batch_negatives,
     "cross_encoder": collate_cross_encoder,
+    "pairwise_impact": collate_pairwise_impact,
 }

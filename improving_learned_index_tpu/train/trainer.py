@@ -85,6 +85,27 @@ def make_loss_fn(module, loss_name: str) -> Callable:
             scores = jnp.sum(batch["masks"] * combined, axis=-1).reshape(b, b + 1)
             return pairwise_ce(scores)
 
+    elif loss_name == "pairwise_impact":
+
+        def loss_fn(params, batch):
+            single, pair_scores, pair_attn = module.apply(
+                {"params": params},
+                batch["input_ids"],
+                batch["attention_mask"],
+                batch["type_ids"],
+                batch["pair_indices"],
+                batch["pair_mask"],
+                deterministic=True,
+            )
+            doc_scores = masked_doc_scores(single, batch["masks"])
+            # attention-weighted pairwise contribution per doc
+            # (reference training/pairwise_trainer.py:26-36)
+            pair_contrib = jnp.sum(pair_scores * pair_attn, axis=-1)
+            scores = (doc_scores + pair_contrib).reshape(
+                batch["masks"].shape[0] // 2, -1
+            )
+            return pairwise_ce(scores)
+
     elif loss_name == "cross_encoder":
 
         def loss_fn(params, batch):

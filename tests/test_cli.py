@@ -1,0 +1,143 @@
+"""CLI surface: the full pipeline via the argparse entry points
+(build_vocab -> index -> quantize -> invert -> rank -> evaluate), plus
+aggregation, anserini export, bm25, merge, expand --tiny."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from improving_learned_index_tpu.cli import (
+    aggregate_run as cli_aggregate,
+    bm25 as cli_bm25,
+    build_vocab as cli_build_vocab,
+    convert_to_anserini as cli_anserini,
+    evaluate as cli_evaluate,
+    expand as cli_expand,
+    index as cli_index,
+    invert as cli_invert,
+    merge as cli_merge,
+    quantize as cli_quantize,
+    rank as cli_rank,
+)
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory, request):
+    corpus = request.getfixturevalue("tiny_corpus")
+    root = tmp_path_factory.mktemp("cli")
+    (root / "collection.tsv").write_text(
+        "".join(f"{i}\t{t}\n" for i, t in enumerate(corpus))
+    )
+    (root / "queries.tsv").write_text(
+        "q0\tquick brown fox\nq1\tinverted indexes postings\n"
+    )
+    (root / "qrels.tsv").write_text("q0\t0\t0\t1\nq1\t0\t3\t1\n")
+    return root
+
+
+def test_full_cli_pipeline(workspace):
+    root = workspace
+    # 1. vocab
+    assert cli_build_vocab.main([
+        "--collection_path", str(root / "collection.tsv"),
+        "--output_path", str(root / "vocab.txt"),
+        "--max_size", "512", "--min_freq", "1",
+    ]) == 0
+    model_args = [
+        "--vocab_path", str(root / "vocab.txt"),
+        "--tiny", "--max_length", "32",
+    ]
+    # 2. forward index
+    assert cli_index.main(model_args + [
+        "--collection_path", str(root / "collection.tsv"),
+        "--output_file_path", str(root / "collection.index"),
+        "--model_batch_size", "4",
+    ]) == 0
+    assert (root / "collection.index").read_text().count("\n") == 8
+    # 3. quantize
+    assert cli_quantize.main([
+        "-i", str(root / "collection.index"),
+        "-o", str(root / "collection.index.quantized"),
+    ]) == 0
+    # 4. invert
+    assert cli_invert.main([
+        "-i", str(root / "collection.index.quantized"),
+        "-o", str(root / "inverted"),
+    ]) == 0
+    assert (root / "inverted" / "vocab.txt").exists()
+    assert (root / "inverted" / "inverted_index.dat").exists()
+    # 5. rank
+    assert cli_rank.main(model_args + [
+        "--index_path", str(root / "inverted"),
+        "--queries_path", str(root / "queries.tsv"),
+        "--output_path", str(root / "run.tsv"),
+    ]) == 0
+    # 6. evaluate
+    assert cli_evaluate.main([
+        "--run_file_path", str(root / "run.tsv"),
+        "--qrels_path", str(root / "qrels.tsv"),
+    ]) == 0
+    # 7. anserini export
+    assert cli_anserini.main([
+        "-i", str(root / "collection.index.quantized"),
+        "-o", str(root / "anserini.jsonl"),
+    ]) == 0
+    # 8. bm25 baseline
+    assert cli_bm25.main(model_args + [
+        "--collection_path", str(root / "collection.tsv"),
+        "--queries_path", str(root / "queries.tsv"),
+        "--output_path", str(root / "bm25_run.tsv"),
+    ]) == 0
+    assert (root / "bm25_run.tsv").read_text().strip()
+
+
+def test_cli_expand_and_merge(workspace):
+    root = workspace
+    assert cli_expand.main([
+        "--collection_path", str(root / "collection.tsv"),
+        "--output_path", str(root / "expansions.jsonl"),
+        "--tiny", "--batch_size", "2", "--num_docs", "2",
+        "--num_return_sequences", "2", "--max_new_tokens", "4",
+    ]) == 0
+    lines = (root / "expansions.jsonl").read_text().splitlines()
+    assert len(lines) == 2
+    assert json.loads(lines[0])["doc_id"] == "0"
+    # merge only covers the expanded prefix (zip-stops at the shorter file)
+    assert cli_merge.main([
+        "--vocab_path", str(root / "vocab.txt"),
+        "--collection_path", str(root / "collection.tsv"),
+        "--queries_path", str(root / "expansions.jsonl"),
+        "--output_path", str(root / "merged.tsv"),
+    ]) == 0
+    assert len((root / "merged.tsv").read_text().splitlines()) == 2
+
+
+def test_cli_aggregate(workspace, tmp_path):
+    mapping = tmp_path / "pid_mapping.txt"
+    mapping.write_text("docA#0\ndocA#1\ndocB#0\n")
+    run = tmp_path / "run.tsv"
+    run.write_text("q1\t0\t1\t5.0\nq1\t1\t2\t9.0\nq1\t2\t3\t3.0\n")
+    assert cli_aggregate.main([
+        "--run_file", str(run),
+        "--mapping", str(mapping),
+        "--output", str(tmp_path / "agg.tsv"),
+    ]) == 0
+    assert (tmp_path / "agg.tsv").read_text().splitlines()[0].startswith("q1\tdocA\t1")
+
+
+def test_module_invocation_smoke(workspace):
+    """`python -m improving_learned_index_tpu.cli.evaluate` works as a module."""
+    result = subprocess.run(
+        [
+            sys.executable, "-m", "improving_learned_index_tpu.cli.evaluate",
+            "--run_file_path", str(workspace / "run.tsv"),
+            "--qrels_path", str(workspace / "qrels.tsv"),
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert result.returncode == 0, result.stderr
+    assert "MRR@10" in result.stdout
