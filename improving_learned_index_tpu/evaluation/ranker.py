@@ -46,11 +46,18 @@ class Ranker:
         self.pairwise = pairwise
         self.batch_size = batch_size
         self.top_k = top_k
-        index = InvertedIndexData.load(index_path)
-        if engine == "device":
-            self.engine = DeviceSearchEngine(index)
+        if engine == "native":
+            from ..search.native import NativeSearchEngine
+
+            self.engine = NativeSearchEngine(index_path)
         else:
-            self.engine = InvertedIndex(index)
+            index = InvertedIndexData.load(index_path)
+            if engine == "device":
+                self.engine = DeviceSearchEngine(index)
+            elif engine == "host":
+                self.engine = InvertedIndex(index)
+            else:
+                raise ValueError(f"unknown engine {engine!r}")
         self.run_file = RunFile(output_path)
 
     def get_query_terms(self, qid: str):

@@ -75,7 +75,10 @@ class InvertedIndex:
             if k == 0:
                 out.append([])
                 continue
-            idx = np.argpartition(acc, -k)[-k:]
-            idx = idx[np.argsort(-acc[idx], kind="stable")]
+            # deterministic ordering: score desc, doc id asc — matches both
+            # lax.top_k (device engine) and the native engine's tie-break
+            nz = np.flatnonzero(acc)
+            order = np.lexsort((nz, -acc[nz]))[:k]
+            idx = nz[order]
             out.append([(int(i), float(acc[i])) for i in idx])
         return out
