@@ -1,0 +1,83 @@
+"""doc2query LoRA fine-tuning: prompt masking, adapter-only updates,
+loss decrease, merge round trip."""
+
+import jax
+import numpy as np
+
+from improving_learned_index_tpu.expand.finetune import (
+    IGNORE_INDEX,
+    Doc2QueryFineTuner,
+    build_example,
+    causal_lm_loss,
+    collate_examples,
+)
+from improving_learned_index_tpu.models.llama import LlamaConfig, init_llama_params
+
+
+class ByteTok:
+    def encode(self, t):
+        return [1] + [b % 250 + 4 for b in t.encode("utf-8")[:60]]
+
+    def decode(self, ids):
+        return bytes((i - 4) % 256 for i in ids if i >= 4).decode("utf-8", "ignore")
+
+
+def test_build_example_prompt_masked():
+    tok = ByteTok()
+    ids, labels = build_example(tok, "doc text", "a query", max_length=128)
+    prompt_len = len(tok.encode("Predict possible search queries for the following document:\ndoc text\n---\n"))
+    assert labels[:prompt_len] == [IGNORE_INDEX] * prompt_len
+    assert labels[-1] == 2  # eos supervised
+    assert ids[-1] == 2
+    assert len(ids) == len(labels)
+
+
+def test_causal_lm_loss_matches_torch():
+    import torch
+
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(2, 6, 16)).astype(np.float32)
+    labels = rng.integers(0, 16, (2, 6)).astype(np.int64)
+    labels[0, :3] = IGNORE_INDEX
+    ref = torch.nn.CrossEntropyLoss(ignore_index=IGNORE_INDEX)(
+        torch.tensor(logits[:, :-1]).reshape(-1, 16), torch.tensor(labels[:, 1:]).reshape(-1)
+    ).item()
+    got = float(causal_lm_loss(logits, labels))
+    assert abs(got - ref) < 1e-5
+
+
+def test_finetune_loss_decreases_and_only_lora_updates():
+    import dataclasses
+
+    cfg = dataclasses.replace(LlamaConfig.tiny(vocab_size=260), dtype="float32")
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    base_snapshot = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), params)
+    ft = Doc2QueryFineTuner(params, cfg, ByteTok(), lr=5e-3, max_length=128, seed=1)
+
+    pairs = [("dogs are loyal pets", "loyal dog"), ("foxes are quick", "quick fox")] * 8
+    batch = ft.make_batch(pairs[:4])
+    first = float(
+        jax.jit(lambda l: causal_lm_loss(
+            ft.module.apply({"params": __import__("improving_learned_index_tpu.expand.lora", fromlist=["lora_forward_params"]).lora_forward_params(ft.base_params, l, ft.lora_config)},
+                            batch["input_ids"], batch["attention_mask"])[0], batch["labels"]))(ft.lora)
+    )
+    avg = ft.train(pairs, batch_size=4, total_steps=4)
+    assert np.isfinite(avg)
+    last = float(
+        jax.jit(lambda l: causal_lm_loss(
+            ft.module.apply({"params": __import__("improving_learned_index_tpu.expand.lora", fromlist=["lora_forward_params"]).lora_forward_params(ft.base_params, l, ft.lora_config)},
+                            batch["input_ids"], batch["attention_mask"])[0], batch["labels"]))(ft.lora)
+    )
+    assert last < first
+    # base params untouched
+    for a, b in zip(
+        jax.tree_util.tree_leaves(base_snapshot), jax.tree_util.tree_leaves(ft.base_params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # merged params differ from base (adapters trained away from zero)
+    merged = ft.merged_params()
+    diffs = [
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(jax.tree_util.tree_leaves(base_snapshot), jax.tree_util.tree_leaves(merged))
+    ]
+    assert max(diffs) > 0
