@@ -71,6 +71,14 @@ class EncoderConfig:
     impact_activation: str = "relu"
     # Compute dtype for matmuls (params stay fp32).
     dtype: str = "bfloat16"
+    # Pallas flash attention (TPU backend only; falls back to the XLA path
+    # off-TPU, for seq lengths not divisible by 128, or when attention
+    # dropout is active / attention maps are requested).  Default OFF:
+    # measured on v5e-1 the XLA fused attention beats the Pallas kernel at
+    # retrieval sequence lengths (S=256: 1380 vs 1046 docs/s; S=512: 625 vs
+    # 393 docs/s, bert-base) — O(S^2) HBM traffic only dominates at S >= ~2K,
+    # where this flag pays off.
+    use_flash_attention: bool = False
 
     @staticmethod
     def tiny(vocab_size: int = 512, impact_activation: str = "relu") -> "EncoderConfig":

@@ -52,7 +52,8 @@ class SparseSearch:
         qids = list(queries.keys())
         term_sets = [self.model.process_query(queries[qid]) for qid in qids]
         results: Dict[str, Dict[str, float]] = {}
-        bs = max(self.batch_size, 16)
+        # scoring is device-side: large batches amortize dispatch latency
+        bs = max(self.batch_size, 512)
         for i in range(0, len(qids), bs):
             batch_sets = term_sets[i : i + bs]
             scored = self.engine.score_batch(batch_sets, top_k=k)

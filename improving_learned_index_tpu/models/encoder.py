@@ -23,6 +23,7 @@ from typing import Any, Dict, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.config import EncoderConfig
 
@@ -64,11 +65,34 @@ class Embeddings(nn.Module):
         return x.astype(_dtype(c))
 
 
+def _can_use_flash(config: EncoderConfig, seq_len: int, deterministic: bool,
+                   output_attentions: bool) -> bool:
+    """Flash attention is used on the TPU backend when the shape fits the
+    kernel's 128-lane tiling and nothing needs the full attention maps."""
+    if not config.use_flash_attention or output_attentions:
+        return False
+    if not deterministic and config.attention_dropout > 0:
+        return False  # the fused kernel has no attention-prob dropout
+    if seq_len % 128 != 0:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 class SelfAttention(nn.Module):
     config: EncoderConfig
 
     @nn.compact
-    def __call__(self, x, attention_bias, deterministic: bool = True):
+    def __call__(
+        self,
+        x,
+        attention_bias,
+        deterministic: bool = True,
+        attention_mask=None,
+        output_attentions: bool = False,
+    ):
         c = self.config
         head_dim = c.hidden_size // c.num_heads
         dt = _dtype(c)
@@ -78,13 +102,34 @@ class SelfAttention(nn.Module):
         q = dense("query")(x)
         k = dense("key")(x)
         v = dense("value")(x)
-        # [B, H, Lq, Lk] logits in fp32 for a stable softmax.
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
-        logits = logits / jnp.sqrt(head_dim).astype(jnp.float32)
-        logits = logits + attention_bias
-        probs = jax.nn.softmax(logits, axis=-1).astype(dt)
-        probs = nn.Dropout(c.attention_dropout)(probs, deterministic=deterministic)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+        if attention_mask is not None and _can_use_flash(
+            c, x.shape[1], deterministic, output_attentions
+        ):
+            # Pallas flash attention: no [B, H, L, L] materialization in HBM
+            # (the encode-path hot op; see /opt/skills/guides notes).
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                SegmentIds,
+                flash_attention,
+            )
+
+            seg = attention_mask.astype(jnp.int32)
+            ctx = flash_attention(
+                q.transpose(0, 2, 1, 3),  # [B, H, L, hd]
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                segment_ids=SegmentIds(q=seg, kv=seg),
+                sm_scale=float(1.0 / np.sqrt(head_dim)),
+            ).transpose(0, 2, 1, 3)
+            probs = None
+        else:
+            # [B, H, Lq, Lk] logits in fp32 for a stable softmax.
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+            logits = logits / jnp.sqrt(head_dim).astype(jnp.float32)
+            logits = logits + attention_bias
+            probs = jax.nn.softmax(logits, axis=-1).astype(dt)
+            probs = nn.Dropout(c.attention_dropout)(probs, deterministic=deterministic)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         out = nn.DenseGeneral(
             c.hidden_size, axis=(-2, -1), dtype=dt, name="output_dense"
         )(ctx)
@@ -95,11 +140,18 @@ class EncoderLayer(nn.Module):
     config: EncoderConfig
 
     @nn.compact
-    def __call__(self, x, attention_bias, deterministic: bool = True):
+    def __call__(
+        self,
+        x,
+        attention_bias,
+        deterministic: bool = True,
+        attention_mask=None,
+        output_attentions: bool = False,
+    ):
         c = self.config
         dt = _dtype(c)
         attn_out, probs = SelfAttention(c, name="attention")(
-            x, attention_bias, deterministic
+            x, attention_bias, deterministic, attention_mask, output_attentions
         )
         attn_out = nn.Dropout(c.hidden_dropout)(attn_out, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="attention_norm")(
@@ -140,7 +192,9 @@ class TransformerEncoder(nn.Module):
         ).astype(jnp.float32)
         attentions = []
         for i in range(c.num_layers):
-            x, probs = EncoderLayer(c, name=f"layer_{i}")(x, bias, deterministic)
+            x, probs = EncoderLayer(c, name=f"layer_{i}")(
+                x, bias, deterministic, attention_mask, output_attentions
+            )
             if output_attentions:
                 attentions.append(probs.astype(jnp.float32))
         x = x.astype(jnp.float32)
