@@ -48,6 +48,9 @@ def main(argv=None) -> int:
     parser.add_argument("--nano_beir_dir", type=Path, default=None)
     parser.add_argument("--epochs", type=int, default=1)
     parser.add_argument("--total_steps", type=int, default=None)
+    parser.add_argument("--use_wandb", action="store_true")
+    parser.add_argument("--enable_profiler", action="store_true",
+                        help="jax.profiler trace under <checkpoint_dir>/profile")
     args = parser.parse_args(argv)
 
     assert not (args.distil_mse and args.distil_kl), "cannot use both distillation losses"
@@ -112,12 +115,26 @@ def main(argv=None) -> int:
         eval_every=args.eval_every,
         loss=loss,
     )
-    trainer = Trainer(
-        model, config, args.checkpoint_dir, mesh=make_mesh(), evaluator=evaluator
+    from ..core.metrics_log import MetricsLogger
+
+    metrics_logger = MetricsLogger(
+        args.checkpoint_dir, use_wandb=args.use_wandb, config=vars(args)
     )
-    for epoch in range(args.epochs):
-        avg = trainer.train(loader.epoch(epoch), total_steps=args.total_steps)
-        print(f"epoch {epoch}: avg loss {avg:.5f}")
+    trainer = Trainer(
+        model,
+        config,
+        args.checkpoint_dir,
+        mesh=make_mesh(),
+        evaluator=evaluator,
+        metrics_logger=metrics_logger,
+    )
+    from ..core.profiling import trace
+
+    with trace(args.checkpoint_dir / "profile", enabled=args.enable_profiler):
+        for epoch in range(args.epochs):
+            avg = trainer.train(loader.epoch(epoch), total_steps=args.total_steps)
+            print(f"epoch {epoch}: avg loss {avg:.5f}")
+    metrics_logger.finish()
     return 0
 
 

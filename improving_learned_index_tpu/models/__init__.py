@@ -6,13 +6,29 @@ from .encoder import (
     TransformerEncoder,
     init_params,
 )
+from .factory import (
+    DeepImpactXLMR,
+    deep_impact,
+    deep_impact_cross_encoder,
+    deep_impact_phobert,
+    deep_impact_xlmr,
+    deep_pairwise_impact,
+)
+from .pairwise import DeepPairwiseImpact
 
 __all__ = [
     "DeepImpact",
     "DeepImpactCrossEncoder",
+    "DeepImpactXLMR",
+    "DeepPairwiseImpact",
     "CrossEncoderModel",
     "DeepImpactModel",
     "ImpactHead",
     "TransformerEncoder",
     "init_params",
+    "deep_impact",
+    "deep_impact_cross_encoder",
+    "deep_impact_phobert",
+    "deep_impact_xlmr",
+    "deep_pairwise_impact",
 ]

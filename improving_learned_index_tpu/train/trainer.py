@@ -129,14 +129,14 @@ class Trainer:
         checkpoint_dir,
         mesh=None,
         evaluator=None,
-        metrics_writer: Optional[Callable[[Dict[str, Any]], None]] = None,
+        metrics_logger=None,  # core.metrics_log.MetricsLogger
     ):
         self.model = model
         self.config = config
         self.mesh = mesh or single_device_mesh()
         self.evaluator = evaluator
         self.checkpoint_dir = Path(checkpoint_dir)
-        self.metrics_writer = metrics_writer
+        self.metrics_logger = metrics_logger
 
         tx = optax.chain(
             optax.clip_by_global_norm(config.grad_clip_norm),
@@ -161,7 +161,8 @@ class Trainer:
         @jax.jit
         def grad_step(params, batch):
             loss, grads = jax.value_and_grad(loss_fn)(params, batch)
-            return loss, grads
+            grad_norm = optax.global_norm(grads)
+            return (loss, grad_norm), grads
 
         @jax.jit
         def apply_grads(params, opt_state, grads):
@@ -234,7 +235,7 @@ class Trainer:
             if total_steps is not None and step >= total_steps:
                 break
             batch = self._put_batch(batch)
-            loss, grads = self._grad_step(self.params, batch)
+            (loss, grad_norm), grads = self._grad_step(self.params, batch)
             loss_val = float(loss)
             train_loss += loss_val
 
@@ -261,11 +262,21 @@ class Trainer:
                 record = {"iteration": i, "metrics": metrics}
                 logger.info(f"eval at step {i}: {metrics}")
                 with open(self.checkpoint_dir / "metrics.txt", "a") as f:
-                    f.write(json.dumps(record) + "\n")
-                if self.metrics_writer:
-                    self.metrics_writer(record)
+                    f.write(json.dumps(record, default=str) + "\n")
+                if self.metrics_logger is not None:
+                    self.metrics_logger.log({"eval": metrics}, step=self.manager.step)
 
             self.manager.on_step(self.params, self.opt_state, metric=loss_val)
+            if self.metrics_logger is not None:
+                self.metrics_logger.log(
+                    {
+                        "train/loss": loss_val,
+                        "train/avg_loss": train_loss / step,
+                        "train/grad_norm": float(grad_norm),
+                        "train/lr": cfg.lr,
+                    },
+                    step=self.manager.step,
+                )
             if step % 50 == 0:
                 rate = step / (time.time() - start)
                 logger.info(

@@ -53,7 +53,7 @@ def test_pairwise_training_step(pw_model, tmp_path, request):
     batches = [collate(triples[i : i + 2], tok, 32, max_pairs=16) for i in (0, 2)]
     cfg = TrainConfig(batch_size=2, lr=1e-3, save_every=10**6, eval_every=10**9, loss="pairwise_impact")
     trainer = Trainer(pw_model, cfg, tmp_path)
-    first = float(trainer._grad_step(trainer.params, trainer._put_batch(batches[0]))[0])
+    first = float(trainer._grad_step(trainer.params, trainer._put_batch(batches[0]))[0][0])
     trainer.train(batches * 3, total_steps=6)
-    last = float(trainer._grad_step(trainer.params, trainer._put_batch(batches[0]))[0])
+    last = float(trainer._grad_step(trainer.params, trainer._put_batch(batches[0]))[0][0])
     assert np.isfinite(first) and last < first

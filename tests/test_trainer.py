@@ -50,9 +50,9 @@ def test_losses_train_and_decrease(tiny_tokenizer, tmp_path, loss):
     cfg = TrainConfig(batch_size=2, lr=1e-3, save_every=1000, eval_every=10**9, loss=loss)
     trainer = Trainer(model, cfg, tmp_path / loss)
     batches = _batches(tiny_tokenizer, loss)
-    first_loss = float(trainer._grad_step(trainer.params, trainer._put_batch(batches[0]))[0])
+    first_loss = float(trainer._grad_step(trainer.params, trainer._put_batch(batches[0]))[0][0])
     trainer.train(batches, total_steps=8)
-    last_loss = float(trainer._grad_step(trainer.params, trainer._put_batch(batches[0]))[0])
+    last_loss = float(trainer._grad_step(trainer.params, trainer._put_batch(batches[0]))[0][0])
     assert np.isfinite(first_loss) and np.isfinite(last_loss)
     assert last_loss < first_loss  # it learned something
 
@@ -136,8 +136,8 @@ def test_multi_device_data_parallel(tiny_tokenizer, tmp_path, cpu_devices):
     import jax
 
     b = batches[0]
-    l1, g1 = t1._grad_step(t1.params, t1._put_batch(b))
-    l2, g2 = t2._grad_step(t2.params, t2._put_batch(b))
+    (l1, _), g1 = t1._grad_step(t1.params, t1._put_batch(b))
+    (l2, _), g2 = t2._grad_step(t2.params, t2._put_batch(b))
     assert abs(float(l1) - float(l2)) < 1e-4
     for a, c in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=5e-4, rtol=0.05)
