@@ -131,8 +131,16 @@ def main(argv=None) -> int:
     from ..core.profiling import trace
 
     with trace(args.checkpoint_dir / "profile", enabled=args.enable_profiler):
+        done = trainer.maybe_resume()
+        steps_per_epoch = len(loader)
         for epoch in range(args.epochs):
-            avg = trainer.train(loader.epoch(epoch), total_steps=args.total_steps)
+            if done >= steps_per_epoch:
+                done -= steps_per_epoch  # epoch fully seen before resume
+                continue
+            avg = trainer.train(
+                loader.epoch(epoch), total_steps=args.total_steps, skip=done
+            )
+            done = 0
             print(f"epoch {epoch}: avg loss {avg:.5f}")
     metrics_logger.finish()
     return 0

@@ -140,7 +140,22 @@ class NanoBEIREvaluator(BaseEvaluator):
     ):
         super().__init__(batch_size, verbose)
         self.local_data_dir = local_data_dir or os.environ.get("ILI_TPU_NANO_BEIR_DIR")
-        self.datasets = datasets or list(DATASET_NAME_TO_ID.keys())
+        if datasets is None:
+            if self.local_data_dir:
+                # hermetic mode: evaluate exactly the datasets present locally
+                datasets = sorted(
+                    p.name
+                    for p in Path(self.local_data_dir).iterdir()
+                    if p.is_dir() and (p / "corpus.jsonl").exists()
+                )
+                if not datasets:
+                    raise ValueError(
+                        f"no BEIR-format datasets under {self.local_data_dir}"
+                    )
+                logger.info(f"local NanoBEIR datasets: {datasets}")
+            else:
+                datasets = list(DATASET_NAME_TO_ID.keys())
+        self.datasets = datasets
         self.k_values = k_values
 
     def _load_dataset(self, dataset_name: str) -> Dataset:

@@ -216,12 +216,20 @@ class Trainer:
         return self.manager.step
 
     # -- training loop -----------------------------------------------------------
-    def train(self, batches: Iterable[Dict[str, Any]], total_steps: Optional[int] = None):
+    def train(
+        self,
+        batches: Iterable[Dict[str, Any]],
+        total_steps: Optional[int] = None,
+        skip: Optional[int] = None,
+    ):
         """``batches``: iterable of collated batches (one per step).  Resumes
         by skipping already-seen batches, like the reference's dataloader
-        skip-replay (trainer.py:92-96,169-181)."""
+        skip-replay (trainer.py:92-96,169-181).  ``skip`` overrides the
+        resume-derived count (multi-epoch callers pass the within-epoch
+        offset; a fresh epoch passes 0)."""
         cfg = self.config
-        skip = self.maybe_resume()
+        if skip is None:
+            skip = self.maybe_resume()
         accum = max(1, cfg.grad_accumulation_steps)
 
         accum_grads = None
