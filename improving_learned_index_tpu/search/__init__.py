@@ -1,4 +1,5 @@
+from .dense_engine import DenseSearchEngine
 from .device_engine import DeviceSearchEngine
 from .engine import InvertedIndex
 
-__all__ = ["DeviceSearchEngine", "InvertedIndex"]
+__all__ = ["DenseSearchEngine", "DeviceSearchEngine", "InvertedIndex"]

@@ -152,3 +152,66 @@ def test_device_engine_large_random():
     ]
     for h, d in zip(host.score_batch(queries, 1000), device.score_batch(queries, 1000)):
         assert dict(h) == dict(d)
+
+
+def test_dense_engine_matches_host():
+    from improving_learned_index_tpu.search.dense_engine import DenseSearchEngine
+
+    idx = _build()
+    host = InvertedIndex(idx)
+    dense = DenseSearchEngine(idx)
+    queries = [
+        {"apple", "banana"},
+        {"cherry"},
+        {"missing"},
+        set(),
+        {"apple", "banana", "cherry", "missing"},
+    ]
+    for h, d in zip(host.score_batch(queries, 3), dense.score_batch(queries, 3)):
+        assert dict(h) == dict(d)
+
+
+def test_dense_engine_large_random_exact():
+    from improving_learned_index_tpu.search.dense_engine import DenseSearchEngine
+
+    rng = np.random.default_rng(3)
+    num_docs, vocab_size = 700, 80
+    docs = []
+    for _ in range(num_docs):
+        terms = rng.choice(vocab_size, size=rng.integers(1, 25), replace=False)
+        docs.append({f"t{t}": int(rng.integers(1, 255)) for t in terms})
+    idx = InvertedIndexData.build(enumerate(docs), num_docs=num_docs)
+    host = InvertedIndex(idx)
+    dense = DenseSearchEngine(idx)
+    queries = [
+        {f"t{t}" for t in rng.choice(vocab_size, size=rng.integers(1, 9), replace=False)}
+        for _ in range(23)
+    ]
+    for h, d in zip(host.score_batch(queries, 1000), dense.score_batch(queries, 1000)):
+        assert dict(h) == dict(d)  # exact: bf16 int impacts, fp32 accumulation
+
+
+def test_dense_engine_float_impacts_exact():
+    """Float (unquantized) impacts keep an fp32 matrix -> exact sums."""
+    from improving_learned_index_tpu.search.dense_engine import DenseSearchEngine
+
+    rng = np.random.default_rng(4)
+    per_doc = []
+    for _ in range(50):
+        terms = rng.choice(30, size=10, replace=False)
+        per_doc.append([(f"t{t}", float(rng.random()) * 3) for t in terms])
+    dense = DenseSearchEngine.from_term_impacts(iter(per_doc))
+    queries = [{f"t{t}" for t in rng.choice(30, size=4, replace=False)} for _ in range(5)]
+    got = dense.score_batch(queries, 50)
+    for q, res in zip(queries, got):
+        expected = {}
+        for doc_id, impacts in enumerate(per_doc):
+            s = np.float32(0)
+            for t, v in impacts:
+                if t in q:
+                    s += np.float32(v)
+            if s > 0:
+                expected[doc_id] = float(s)
+        assert set(dict(res)) == set(expected)
+        for d_, s_ in res:
+            assert abs(s_ - expected[d_]) < 1e-5

@@ -260,3 +260,31 @@ def test_tensor_parallel_forward_matches(cpu_devices):
         jax.device_put(mask, NamedSharding(mesh, P("data", None))),
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=2e-4)
+
+
+def test_tensor_parallel_sampling(cpu_devices):
+    """Greedy decode with TP-sharded params matches unsharded decode."""
+    from jax.sharding import NamedSharding
+
+    from improving_learned_index_tpu.core.config import GenerationConfig, MeshConfig
+    from improving_learned_index_tpu.parallel import make_mesh
+
+    cfg = fp32(LlamaConfig.tiny())
+    params = init_llama_params(cfg, jax.random.PRNGKey(7))
+    gen = GenerationConfig(num_return_sequences=1, max_new_tokens=5, do_sample=False)
+    sampler = Sampler(cfg, gen, eos_token_id=2)
+
+    rng = np.random.default_rng(9)
+    ids = rng.integers(3, 256, (2, 6)).astype(np.int32)
+    mask = np.ones((2, 6), dtype=np.int32)
+    ref = sampler.generate(params, ids, mask, seed=0)
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    specs = llama_param_specs(params, model_parallel_size=2)
+    sharded = jax.tree_util.tree_map(
+        lambda leaf, s: jax.device_put(np.asarray(leaf), NamedSharding(mesh, s)),
+        params,
+        specs,
+    )
+    got = sampler.generate(sharded, ids, mask, seed=0)
+    np.testing.assert_array_equal(got, ref)
