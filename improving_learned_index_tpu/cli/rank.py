@@ -21,6 +21,8 @@ def main(argv=None) -> int:
     parser.add_argument("--pairwise", action="store_true")
     parser.add_argument("--engine", choices=["device", "host", "native"], default="device")
     parser.add_argument("--top_k", type=int, default=1000)
+    parser.add_argument("--approx_top_k", action="store_true",
+                        help="hardware-friendly approximate top-k (device engine)")
     args = parser.parse_args(argv)
 
     ranker = Ranker(
@@ -33,6 +35,7 @@ def main(argv=None) -> int:
         pairwise=args.pairwise,
         engine=args.engine,
         top_k=args.top_k,
+        approx_top_k=args.approx_top_k,
     )
     n = ranker.run()
     print(f"ranked {n} queries -> {args.output_path}")

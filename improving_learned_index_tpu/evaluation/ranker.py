@@ -33,9 +33,10 @@ class Ranker:
         qrels_path: Optional[Union[str, Path]] = None,
         dataset_type: str = "msmarco",
         pairwise: bool = False,
-        engine: str = "device",  # device | host
+        engine: str = "device",  # device | host | native
         batch_size: int = 256,
         top_k: int = 1000,
+        approx_top_k: bool = False,
     ):
         self.queries = Queries(queries_path, dataset_type=dataset_type)
         self.query_ids = list(self.queries.keys())
@@ -53,7 +54,11 @@ class Ranker:
         else:
             index = InvertedIndexData.load(index_path)
             if engine == "device":
-                self.engine = DeviceSearchEngine(index)
+                from ..core.config import SearchConfig
+
+                self.engine = DeviceSearchEngine(
+                    index, SearchConfig(approx_top_k=approx_top_k)
+                )
             elif engine == "host":
                 self.engine = InvertedIndex(index)
             else:

@@ -215,3 +215,26 @@ def test_dense_engine_float_impacts_exact():
         assert set(dict(res)) == set(expected)
         for d_, s_ in res:
             assert abs(s_ - expected[d_]) < 1e-5
+
+
+def test_device_engine_approx_topk():
+    from improving_learned_index_tpu.core.config import SearchConfig
+
+    rng = np.random.default_rng(5)
+    num_docs = 2000
+    docs = []
+    for _ in range(num_docs):
+        terms = rng.choice(60, size=10, replace=False)
+        docs.append({f"t{t}": int(rng.integers(1, 255)) for t in terms})
+    idx = InvertedIndexData.build(enumerate(docs), num_docs=num_docs)
+    exact = DeviceSearchEngine(idx)
+    approx = DeviceSearchEngine(idx, SearchConfig(approx_top_k=True))
+    queries = [{f"t{t}" for t in rng.choice(60, size=5, replace=False)} for _ in range(6)]
+    ex = exact.score_batch(queries, 100)
+    ap = approx.score_batch(queries, 100)
+    for e, a in zip(ex, ap):
+        de, da = dict(e), dict(a)
+        overlap = len(set(de) & set(da)) / max(len(de), 1)
+        assert overlap >= 0.9  # high recall even approximate
+        for doc in set(de) & set(da):
+            assert de[doc] == da[doc]  # scores themselves exact
