@@ -30,7 +30,13 @@ def main(argv=None) -> int:
     parser.add_argument("--max_tokens", type=int, default=350)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--tiny", action="store_true", help="tiny random model (smoke)")
+    parser.add_argument("--t5", type=str, default=None, metavar="MODEL",
+                        help="use a T5/mT5 checkpoint (e.g. an mT5 doc2query "
+                        "model) instead of Llama")
     args = parser.parse_args(argv)
+
+    if args.t5:
+        return _t5_main(args)
 
     gen_cfg = GenerationConfig(
         num_return_sequences=args.num_return_sequences,
@@ -122,3 +128,67 @@ def main(argv=None) -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def _t5_main(args) -> int:
+    """T5/mT5 expansion path (reference: python -m src.llama2.generate_t5)."""
+    import torch
+    from transformers import AutoConfig, AutoTokenizer, T5ForConditionalGeneration
+
+    from ..expand.t5_generate import T5QueryGenerator
+    from ..models.t5 import T5Config, hf_t5_to_flax
+
+    gen_cfg = GenerationConfig(
+        num_return_sequences=args.num_return_sequences,
+        max_new_tokens=args.max_new_tokens,
+        top_k=args.top_k,
+        top_p=args.top_p,
+        max_tokens=args.max_tokens,
+    )
+    hc = AutoConfig.from_pretrained(args.t5)
+    config = T5Config(
+        vocab_size=hc.vocab_size,
+        d_model=hc.d_model,
+        d_kv=hc.d_kv,
+        num_heads=hc.num_heads,
+        d_ff=hc.d_ff,
+        num_encoder_layers=hc.num_layers,
+        num_decoder_layers=hc.num_decoder_layers,
+        relative_attention_num_buckets=hc.relative_attention_num_buckets,
+        relative_attention_max_distance=getattr(hc, "relative_attention_max_distance", 128),
+        gated_act="gated" in hc.feed_forward_proj,
+        tie_word_embeddings=hc.tie_word_embeddings,
+    )
+    with torch.no_grad():
+        params = hf_t5_to_flax(
+            T5ForConditionalGeneration.from_pretrained(args.t5).state_dict(), config
+        )
+    hf_tok = AutoTokenizer.from_pretrained(args.t5)
+
+    class HFTok:
+        def encode(self, t):
+            return hf_tok.encode(t)
+
+        def decode(self, ids):
+            return hf_tok.decode(ids, skip_special_tokens=True)
+
+    generator = T5QueryGenerator(
+        params,
+        config,
+        HFTok(),
+        gen_cfg,
+        pad_token_id=hf_tok.pad_token_id or 0,
+        eos_token_id=hf_tok.eos_token_id or 1,
+        decoder_start_token_id=hc.decoder_start_token_id or 0,
+    )
+    n = generate_expansions(
+        generator,
+        args.collection_path,
+        args.output_path,
+        args.collection_type,
+        batch_size=args.batch_size,
+        num_docs=args.num_docs,
+        seed=args.seed,
+    )
+    print(f"expanded {n} documents -> {args.output_path}")
+    return 0
