@@ -1,5 +1,6 @@
 from .mesh import (
     data_sharding,
+    initialize_distributed,
     make_mesh,
     pad_to_multiple,
     replicated,
@@ -9,6 +10,7 @@ from .mesh import (
 
 __all__ = [
     "data_sharding",
+    "initialize_distributed",
     "make_mesh",
     "pad_to_multiple",
     "replicated",

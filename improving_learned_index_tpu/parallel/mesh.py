@@ -60,3 +60,25 @@ def shard_batch(mesh: Mesh, batch):
 
 def pad_to_multiple(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host initialization (SURVEY.md §2.7: `jax.distributed.initialize`
+    replaces torchrun/NCCL process groups).  On TPU pods all arguments are
+    discovered from the environment; pass them explicitly elsewhere.  Call
+    once per host before any jax device use; afterwards ``jax.devices()``
+    spans the full slice and ``make_mesh`` builds the global mesh."""
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
