@@ -53,7 +53,24 @@ class Indexer:
         self, documents: Iterable[str]
     ) -> Iterator[List[Tuple[str, float]]]:
         """Yield [(term, impact), ...] per document, overlapping host
-        tokenization with device compute via a bounded queue."""
+        tokenization with device compute via a bounded queue.
+
+        Models with composite postings (DeepPairwiseImpact emits
+        ``term1|term2`` entries, reference pairwise_impact.py:97-129) go
+        through their own ``get_impact_scores_batch``."""
+        from ..models.pairwise import DeepPairwiseImpact
+
+        if isinstance(self.model, DeepPairwiseImpact):
+            batch: List[str] = []
+            for doc in documents:
+                batch.append(doc)
+                if len(batch) == self.config.model_batch_size:
+                    yield from self.model.get_impact_scores_batch(batch)
+                    batch = []
+            if batch:
+                yield from self.model.get_impact_scores_batch(batch)
+            return
+
         queue: Queue = Queue(maxsize=4)
         producer = threading.Thread(
             target=_tokenize_producer,

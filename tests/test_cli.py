@@ -141,3 +141,60 @@ def test_module_invocation_smoke(workspace):
     )
     assert result.returncode == 0, result.stderr
     assert "MRR@10" in result.stdout
+
+
+def test_cli_pairwise_index(workspace):
+    """--model_kind pairwise emits term1|term2 composite postings
+    (reference index.py --pairwise)."""
+    root = workspace
+    out = root / "pairwise.index"
+    assert cli_index.main([
+        "--vocab_path", str(root / "vocab.txt"),
+        "--tiny", "--max_length", "32",
+        "--model_kind", "pairwise",
+        "--collection_path", str(root / "collection.tsv"),
+        "--output_file_path", str(out),
+        "--model_batch_size", "4",
+    ]) == 0
+    text = out.read_text()
+    assert text.count("\n") == 8
+    assert "|" in text  # composite pair postings present
+
+
+def test_cli_finetune_tiny(tmp_path):
+    from improving_learned_index_tpu.cli import finetune as cli_finetune
+
+    pairs = tmp_path / "pairs.tsv"
+    pairs.write_text("a doc about foxes\tquick fox\nanother doc\tlazy dog\n" * 2)
+    adapter = tmp_path / "adapter.msgpack"
+    assert cli_finetune.main([
+        "--dataset_path", str(pairs),
+        "--output_adapter", str(adapter),
+        "--tiny", "--batch_size", "2", "--total_steps", "2", "--max_length", "64",
+    ]) == 0
+    assert adapter.stat().st_size > 0
+
+
+def test_cli_nano_beir_local(workspace, tmp_path):
+    import json
+
+    from improving_learned_index_tpu.cli import nano_beir as cli_nano
+
+    corpus = (workspace / "collection.tsv").read_text().splitlines()
+    d = tmp_path / "nb" / "scifact"
+    d.mkdir(parents=True)
+    with open(d / "corpus.jsonl", "w") as f:
+        for line in corpus:
+            pid, text = line.split("\t", 1)
+            f.write(json.dumps({"_id": f"d{pid}", "title": "", "text": text}) + "\n")
+    (d / "queries.jsonl").write_text(json.dumps({"_id": "q0", "text": "quick brown fox"}) + "\n")
+    (d / "qrels.tsv").write_text("query-id\tcorpus-id\tscore\nq0\td0\t1\n")
+    out = tmp_path / "metrics.json"
+    assert cli_nano.main([
+        "--vocab_path", str(workspace / "vocab.txt"),
+        "--tiny", "--max_length", "32",
+        "--local_data_dir", str(tmp_path / "nb"),
+        "--batch_size", "4",
+        "--output", str(out),
+    ]) == 0
+    assert "scifact" in out.read_text()
