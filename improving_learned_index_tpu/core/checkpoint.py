@@ -35,12 +35,32 @@ def save_params(path: Union[str, Path], params: Any) -> None:
         f.write(serialization.to_bytes(host_params))
 
 
+def _unwrap_payload(restored: Any) -> Any:
+    """Unwrap a CheckpointManager payload ({'params', 'opt_state'?}) to bare
+    params, so trainer-produced checkpoints feed index/rank/rerank CLIs the
+    way the reference's ModelCheckpoint.load unwraps model_state_dict
+    (src/utils/checkpoint.py:86-139)."""
+    if (
+        isinstance(restored, dict)
+        and "params" in restored
+        and set(restored) <= {"params", "opt_state"}
+    ):
+        return restored["params"]
+    return restored
+
+
 def load_params(path: Union[str, Path], like: Any = None) -> Any:
     with open(path, "rb") as f:
         data = f.read()
-    if like is not None:
-        return serialization.from_bytes(jax.device_get(like), data)
-    return serialization.msgpack_restore(data)
+    if like is None:
+        return _unwrap_payload(serialization.msgpack_restore(data))
+    template = jax.device_get(like)
+    try:
+        return serialization.from_bytes(template, data)
+    except ValueError:
+        # Structure mismatch: likely a wrapped CheckpointManager payload.
+        restored = _unwrap_payload(serialization.msgpack_restore(data))
+        return serialization.from_state_dict(template, restored)
 
 
 class CheckpointManager:

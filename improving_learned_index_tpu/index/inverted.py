@@ -44,6 +44,8 @@ class InvertedIndexData:
         doc_ids: np.ndarray,
         impacts: np.ndarray,
         num_docs: int = 0,
+        zero_offsets: np.ndarray = None,
+        zero_doc_ids: np.ndarray = None,
     ):
         assert offsets.shape == (len(vocab) + 1,)
         assert doc_ids.shape == impacts.shape
@@ -52,6 +54,15 @@ class InvertedIndexData:
         self.offsets = offsets.astype(np.int64)
         self.doc_ids = doc_ids.astype(np.uint32)
         self.impacts = impacts.astype(np.uint8)
+        # Zero-quantized postings: never scored (the reference reader stops at
+        # the first zero impact, inverted_index.py:49-51) but written to .dat
+        # by the reference creator (create.py:41-46 writes every int(val),
+        # including 0) — kept in a side CSR purely for byte-parity save().
+        if zero_offsets is None:
+            zero_offsets = np.zeros(len(vocab) + 1, dtype=np.int64)
+            zero_doc_ids = np.empty(0, dtype=np.uint32)
+        self.zero_offsets = zero_offsets.astype(np.int64)
+        self.zero_doc_ids = zero_doc_ids.astype(np.uint32)
         self.num_docs = num_docs or (int(doc_ids.max()) + 1 if len(doc_ids) else 0)
 
     def __len__(self) -> int:
@@ -79,8 +90,10 @@ class InvertedIndexData:
 
         Postings within a term sort by impact descending with stable doc
         order for ties (reference create.py:41 sorted(..., reverse=True)).
-        Zero impacts are dropped (they terminate reads in the reference's
-        term_docs loop, inverted_index.py:49-51).
+        Zero impacts never enter the scored CSR (they terminate reads in the
+        reference's term_docs loop, inverted_index.py:49-51) but are retained
+        in the zero side-CSR because the reference creator writes them to
+        .dat (create.py:44-46) — byte parity requires them on save().
         """
         terms: List[str] = []
         term_ids: List[int] = []
@@ -91,9 +104,7 @@ class InvertedIndexData:
         for doc_id, impacts in doc_term_impacts:
             max_doc = max(max_doc, doc_id)
             for term, val in impacts.items():
-                v = int(val)
-                if v <= 0:
-                    continue
+                v = max(0, int(val))
                 tid = vocab_map.get(term)
                 if tid is None:
                     tid = len(vocab_map)
@@ -119,15 +130,27 @@ class InvertedIndexData:
             sort_idx = np.lexsort((-val_arr, tid_arr))
             tid_arr, doc_arr, val_arr = tid_arr[sort_idx], doc_arr[sort_idx], val_arr[sort_idx]
 
-        counts = np.bincount(tid_arr, minlength=len(sorted_vocab)) if len(tid_arr) else np.zeros(len(sorted_vocab), np.int64)
-        offsets = np.zeros(len(sorted_vocab) + 1, dtype=np.int64)
-        np.cumsum(counts, out=offsets[1:])
+        nvocab = len(sorted_vocab)
+        nonzero = val_arr > 0
+        main_tid, main_doc, main_val = tid_arr[nonzero], doc_arr[nonzero], val_arr[nonzero]
+        zero_tid, zero_doc = tid_arr[~nonzero], doc_arr[~nonzero]
+
+        def _offsets(tids):
+            counts = (
+                np.bincount(tids, minlength=nvocab) if len(tids) else np.zeros(nvocab, np.int64)
+            )
+            out = np.zeros(nvocab + 1, dtype=np.int64)
+            np.cumsum(counts, out=out[1:])
+            return out
+
         return cls(
             sorted_vocab,
-            offsets,
-            doc_arr.astype(np.uint32),
-            val_arr.astype(np.uint8),
+            _offsets(main_tid),
+            main_doc.astype(np.uint32),
+            main_val.astype(np.uint8),
             num_docs=max(num_docs, max_doc + 1),
+            zero_offsets=_offsets(zero_tid),
+            zero_doc_ids=zero_doc.astype(np.uint32),
         )
 
     @classmethod
@@ -144,13 +167,32 @@ class InvertedIndexData:
             for term in self.vocab:
                 f.write(term + "\n")
 
-        records = np.empty(len(self.doc_ids), dtype=_RECORD_DTYPE)
-        records["doc_id"] = self.doc_ids
-        records["impact"] = self.impacts
+        # Per term: scored (nonzero) records first — already impact-sorted —
+        # then the zero-impact records, matching the reference's descending
+        # sort where zeros land last (create.py:41-46).
+        n_main = np.diff(self.offsets)
+        n_zero = np.diff(self.zero_offsets)
+        full_offsets = np.zeros(len(self.vocab) + 1, dtype=np.int64)
+        np.cumsum(n_main + n_zero, out=full_offsets[1:])
+
+        total = int(full_offsets[-1])
+        records = np.empty(total, dtype=_RECORD_DTYPE)
+        if len(self.doc_ids):
+            term_of = np.repeat(np.arange(len(self.vocab)), n_main)
+            within = np.arange(len(self.doc_ids)) - self.offsets[term_of]
+            pos = full_offsets[term_of] + within
+            records["doc_id"][pos] = self.doc_ids
+            records["impact"][pos] = self.impacts
+        if len(self.zero_doc_ids):
+            term_of = np.repeat(np.arange(len(self.vocab)), n_zero)
+            within = np.arange(len(self.zero_doc_ids)) - self.zero_offsets[term_of]
+            pos = full_offsets[term_of] + n_main[term_of] + within
+            records["doc_id"][pos] = self.zero_doc_ids
+            records["impact"][pos] = 0
         records.tofile(out / INVERTED_INDEX_DATA)
 
         locs = np.empty(2 * len(self.vocab), dtype=_LOC_DTYPE)
-        byte_offsets = self.offsets * DOC_SCORE_BLOCK_BYTES
+        byte_offsets = full_offsets * DOC_SCORE_BLOCK_BYTES
         locs[0::2] = byte_offsets[:-1].astype(np.uint64)
         locs[1::2] = byte_offsets[1:].astype(np.uint64)
         locs.tofile(out / INVERTED_INDEX_INDEX)
@@ -163,18 +205,32 @@ class InvertedIndexData:
         records = np.fromfile(path / INVERTED_INDEX_DATA, dtype=_RECORD_DTYPE)
         locs = np.fromfile(path / INVERTED_INDEX_INDEX, dtype=_LOC_DTYPE).reshape(-1, 2)
         assert locs.shape[0] == len(vocab), "idx/vocab size mismatch"
-        offsets = np.zeros(len(vocab) + 1, dtype=np.int64)
+        full_offsets = np.zeros(len(vocab) + 1, dtype=np.int64)
         if len(vocab):
-            offsets[:-1] = locs[:, 0] // DOC_SCORE_BLOCK_BYTES
-            offsets[-1] = locs[-1, 1] // DOC_SCORE_BLOCK_BYTES
+            full_offsets[:-1] = locs[:, 0] // DOC_SCORE_BLOCK_BYTES
+            full_offsets[-1] = locs[-1, 1] // DOC_SCORE_BLOCK_BYTES
             # Reference .idx ranges are contiguous; trust ends for safety.
             assert np.all(
-                locs[:, 1] // DOC_SCORE_BLOCK_BYTES == offsets[1:]
+                locs[:, 1] // DOC_SCORE_BLOCK_BYTES == full_offsets[1:]
             ), "non-contiguous postings"
+
+        # Split zero-impact records (a per-term suffix under the descending
+        # sort; the reference reader never scores them) into the side CSR so
+        # a save() round-trips byte-for-bit.
+        impacts = records["impact"]
+        nonzero = impacts != 0
+        nz_pref = np.zeros(len(records) + 1, dtype=np.int64)
+        np.cumsum(nonzero, out=nz_pref[1:])
+        offsets = nz_pref[full_offsets]
+        z_pref = np.zeros(len(records) + 1, dtype=np.int64)
+        np.cumsum(~nonzero, out=z_pref[1:])
+        zero_offsets = z_pref[full_offsets]
         return cls(
             vocab,
             offsets,
-            records["doc_id"].copy(),
-            records["impact"].copy(),
+            records["doc_id"][nonzero].copy(),
+            impacts[nonzero].copy(),
             num_docs=num_docs,
+            zero_offsets=zero_offsets,
+            zero_doc_ids=records["doc_id"][~nonzero].copy(),
         )

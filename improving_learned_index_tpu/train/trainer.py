@@ -203,8 +203,10 @@ class Trainer:
 
     # -- resume ------------------------------------------------------------------
     def maybe_resume(self) -> int:
-        """Restore latest snapshot; returns the number of *steps* already done
-        (rescaled if the global batch changed — reference trainer.py:63-66)."""
+        """Restore latest snapshot; returns the number of *batches* already
+        consumed (manager.step counts optimizer steps, so micro-batches =
+        step x accum; rescaled if the global batch changed — reference
+        trainer.py:63-66)."""
         if not self.manager.exists():
             return 0
         restored = self.manager.load(self.params, self.opt_state)
@@ -213,7 +215,7 @@ class Trainer:
             self.opt_state = restored["opt_state"]
         self.manager.rescale_step_for_batch(self.config.batch_size)
         self.model.params = self.params
-        return self.manager.step
+        return self.manager.step * max(1, self.config.grad_accumulation_steps)
 
     # -- training loop -----------------------------------------------------------
     def train(
@@ -222,75 +224,107 @@ class Trainer:
         total_steps: Optional[int] = None,
         skip: Optional[int] = None,
     ):
-        """``batches``: iterable of collated batches (one per step).  Resumes
-        by skipping already-seen batches, like the reference's dataloader
-        skip-replay (trainer.py:92-96,169-181).  ``skip`` overrides the
-        resume-derived count (multi-epoch callers pass the within-epoch
-        offset; a fresh epoch passes 0)."""
+        """``batches``: iterable of collated batches (one micro-batch each).
+        Resumes by skipping already-seen batches, like the reference's
+        dataloader skip-replay (trainer.py:92-96,169-181).  ``skip`` overrides
+        the resume-derived count (multi-epoch callers pass the within-epoch
+        offset; a fresh epoch passes 0).
+
+        Accumulation semantics: the window counter starts at 0 *after* the
+        skipped batches (so a resume with skip % accum != 0 still fills a full
+        window before stepping), a trailing partial window is flushed as the
+        mean of its gradients, and ``manager.on_step`` / metrics count
+        optimizer steps, not micro-batches — matching the reference where one
+        dataloader iteration is one optimizer step (trainer.py:105-117)."""
         cfg = self.config
         if skip is None:
             skip = self.maybe_resume()
         accum = max(1, cfg.grad_accumulation_steps)
 
         accum_grads = None
+        window = 0  # micro-batches in the current accumulation window
         train_loss = 0.0
         start = time.time()
-        it = iter(batches)
-        step = 0
-        for i, batch in enumerate(it):
+        micro = 0  # processed micro-batches this call (excludes skipped)
+        loss_val = 0.0
+
+        def apply_window():
+            nonlocal accum_grads, window
+            grads = accum_grads
+            if window != accum:
+                # Partial (trailing/flush) window: grads were pre-divided by
+                # accum; rescale so the update is the mean over `window`.
+                grads = jax.tree_util.tree_map(
+                    lambda g: g * (accum / window), grads
+                )
+            self.params, self.opt_state = self._apply_grads(
+                self.params, self.opt_state, grads
+            )
+            accum_grads = None
+            window = 0
+
+        for i, batch in enumerate(batches):
             if i < skip:
                 continue
-            if total_steps is not None and step >= total_steps:
+            if total_steps is not None and micro >= total_steps:
                 break
             batch = self._put_batch(batch)
             (loss, grad_norm), grads = self._grad_step(self.params, batch)
             loss_val = float(loss)
             train_loss += loss_val
+            micro += 1
 
+            stepped = False
             if accum > 1:
                 grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
                 accum_grads = (
                     grads if accum_grads is None else self._add_grads(accum_grads, grads)
                 )
-                if (i + 1) % accum == 0:
-                    self.params, self.opt_state = self._apply_grads(
-                        self.params, self.opt_state, accum_grads
-                    )
-                    accum_grads = None
+                window += 1
+                if window == accum:
+                    apply_window()
+                    stepped = True
             else:
                 self.params, self.opt_state = self._apply_grads(
                     self.params, self.opt_state, grads
                 )
+                stepped = True
 
             self.model.params = self.params
-            step += 1
 
             if self.evaluator is not None and i % cfg.eval_every == 0:
                 metrics = self.evaluator.evaluate_all(self.model)
                 record = {"iteration": i, "metrics": metrics}
-                logger.info(f"eval at step {i}: {metrics}")
+                logger.info(f"eval at iteration {i}: {metrics}")
                 with open(self.checkpoint_dir / "metrics.txt", "a") as f:
                     f.write(json.dumps(record, default=str) + "\n")
                 if self.metrics_logger is not None:
                     self.metrics_logger.log({"eval": metrics}, step=self.manager.step)
 
-            self.manager.on_step(self.params, self.opt_state, metric=loss_val)
-            if self.metrics_logger is not None:
-                self.metrics_logger.log(
-                    {
-                        "train/loss": loss_val,
-                        "train/avg_loss": train_loss / step,
-                        "train/grad_norm": float(grad_norm),
-                        "train/lr": cfg.lr,
-                    },
-                    step=self.manager.step,
-                )
-            if step % 50 == 0:
-                rate = step / (time.time() - start)
+            if stepped:
+                self.manager.on_step(self.params, self.opt_state, metric=loss_val)
+                if self.metrics_logger is not None:
+                    self.metrics_logger.log(
+                        {
+                            "train/loss": loss_val,
+                            "train/avg_loss": train_loss / micro,
+                            "train/grad_norm": float(grad_norm),
+                            "train/lr": cfg.lr,
+                        },
+                        step=self.manager.step,
+                    )
+            if micro % 50 == 0:
+                rate = micro / (time.time() - start)
                 logger.info(
-                    f"step {step} loss {loss_val:.4f} avg {train_loss / step:.4f} "
-                    f"[{rate:.2f} steps/s]"
+                    f"batch {micro} loss {loss_val:.4f} avg {train_loss / micro:.4f} "
+                    f"[{rate:.2f} batches/s]"
                 )
 
+        if accum_grads is not None:
+            # Flush the trailing partial accumulation window.
+            apply_window()
+            self.model.params = self.params
+            self.manager.on_step(self.params, self.opt_state, metric=loss_val)
+
         self.manager.save("final", self.params, self.opt_state)
-        return train_loss / max(step, 1)
+        return train_loss / max(micro, 1)

@@ -198,3 +198,41 @@ def test_cli_nano_beir_local(workspace, tmp_path):
         "--output", str(out),
     ]) == 0
     assert "scifact" in out.read_text()
+
+
+def test_cli_train_to_index_checkpoint_handoff(workspace, tmp_path):
+    """The train CLI's latest checkpoint (wrapped params+opt_state payload)
+    must be consumable by the index CLI via --checkpoint (reference
+    index.py defaults to the trainer's DeepImpact_latest.pt)."""
+    from improving_learned_index_tpu.cli import train as cli_train
+
+    root = workspace
+    if not (root / "vocab.txt").exists():
+        assert cli_build_vocab.main([
+            "--collection_path", str(root / "collection.tsv"),
+            "--output_path", str(root / "vocab.txt"),
+            "--max_size", "512", "--min_freq", "1",
+        ]) == 0
+    (tmp_path / "triples.tsv").write_text("q0\t0\t7\nq1\t3\t1\nq0\t0\t5\nq1\t3\t2\n")
+    ckpt_dir = tmp_path / "ckpt"
+    model_args = [
+        "--vocab_path", str(root / "vocab.txt"),
+        "--tiny", "--max_length", "32",
+    ]
+    assert cli_train.main(model_args + [
+        "--dataset_path", str(tmp_path / "triples.tsv"),
+        "--queries_path", str(root / "queries.tsv"),
+        "--collection_path", str(root / "collection.tsv"),
+        "--checkpoint_dir", str(ckpt_dir),
+        "--batch_size", "2", "--total_steps", "2", "--save_every", "1",
+        "--no_beir_eval", "--seed", "0",
+    ]) == 0
+    latest = ckpt_dir / "DeepImpact_latest.msgpack"
+    assert latest.exists()
+    assert cli_index.main(model_args + [
+        "--checkpoint", str(latest),
+        "--collection_path", str(root / "collection.tsv"),
+        "--output_file_path", str(tmp_path / "handoff.index"),
+        "--model_batch_size", "4",
+    ]) == 0
+    assert (tmp_path / "handoff.index").read_text().count("\n") == 8

@@ -170,3 +170,41 @@ def test_anserini_export(tmp_path):
     assert convert_to_anserini(fwd, out) == 2
     lines = [json.loads(l) for l in out.read_text().splitlines()]
     assert lines[0] == {"id": 0, "contents": "", "vector": {"hello": 1.5, "world": 2.0}}
+
+
+def test_trec_metrics_tie_break_doc_id_descending():
+    """pytrec_eval breaks score ties by doc id DESCENDING: with docs d1/d2/d9
+    all scoring 1.0 and only d9 relevant, d9 must rank first -> NDCG@1 = 1."""
+    from improving_learned_index_tpu.evaluation.trec_metrics import evaluate
+
+    qrels = {"q": {"d9": 1}}
+    results = {"q": {"d1": 1.0, "d2": 1.0, "d9": 1.0}}
+    ndcg, _map, recall, precision = evaluate(qrels, results, k_values=[1, 3])
+    assert ndcg["NDCG@1"] == 1.0
+    assert precision["P@1"] == 1.0
+    assert recall["Recall@1"] == 1.0
+
+    # And ascending-relevant doc loses at the tie: only d1 relevant -> @1 = 0.
+    ndcg2, _m2, recall2, _p2 = evaluate({"q": {"d1": 1}}, results, k_values=[1, 3])
+    assert ndcg2["NDCG@1"] == 0.0
+    assert recall2["Recall@3"] == 1.0
+
+
+def test_trec_metrics_vectorized_matches_hand_computed_graded():
+    """Graded relevance hand-check: ranks (by score desc, id desc) are
+    dB(3), dA(0), dC(1); NDCG@3 = (3 + 1/2) / (3 + 2/log2(3)) for ideal
+    gains [3,2]; MAP@3 = (1/1 + 2/3)/2."""
+    import math
+
+    from improving_learned_index_tpu.evaluation.trec_metrics import evaluate
+
+    qrels = {"q": {"dB": 3, "dC": 1, "dZ": 2}}
+    results = {"q": {"dB": 9.0, "dA": 5.0, "dC": 5.0}}
+    # tie at 5.0 -> dC before dA (id desc)? 'dC' > 'dA' so dC ranks ahead.
+    ndcg, _map, recall, precision = evaluate(qrels, results, k_values=[3])
+    dcg = 3 / math.log2(2) + 1 / math.log2(3)  # dB at rank1, dC at rank2
+    idcg = 3 / math.log2(2) + 2 / math.log2(3) + 1 / math.log2(4)
+    assert abs(ndcg["NDCG@3"] - round(dcg / idcg, 5)) < 1e-9
+    ap = (1 / 1 + 2 / 2) / 3  # hits at ranks 1,2; 3 relevant total
+    assert abs(_map["MAP@3"] - round(ap, 5)) < 1e-9
+    assert recall["Recall@3"] == round(2 / 3, 5)

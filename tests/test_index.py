@@ -238,3 +238,49 @@ def test_device_engine_approx_topk():
         assert overlap >= 0.9  # high recall even approximate
         for doc in set(de) & set(da):
             assert de[doc] == da[doc]  # scores themselves exact
+
+
+def test_inverted_zero_impact_byte_parity(tmp_path):
+    """The reference creator writes int(val)==0 records to .dat (create.py:
+    44-46); its reader stops at the first zero (inverted_index.py:49-51).
+    Our save() must emit the zero records for byte parity, and scoring must
+    ignore them."""
+    import struct
+
+    from improving_learned_index_tpu.index.inverted import InvertedIndexData
+    from improving_learned_index_tpu.search.engine import InvertedIndex
+
+    docs = [
+        (0, {"apple": 7, "pear": 0}),
+        (1, {"apple": 0, "pear": 3}),
+        (2, {"apple": 2}),
+    ]
+    idx = InvertedIndexData.build(docs, num_docs=3)
+    out = tmp_path / "zidx"
+    idx.save(out)
+
+    # Reference-written bytes for the same collection: vocab sorted
+    # [apple, pear]; postings per term sorted impact desc -> apple:
+    # (0,7),(2,2),(1,0); pear: (1,3),(0,0).
+    expected = b"".join(
+        struct.pack("<I", d) + struct.pack("B", v)
+        for d, v in [(0, 7), (2, 2), (1, 0), (1, 3), (0, 0)]
+    )
+    assert (out / "inverted_index.dat").read_bytes() == expected
+    locs = (out / "inverted_index.idx").read_bytes()
+    assert struct.unpack("<4Q", locs) == (0, 15, 15, 25)
+
+    # Zero records must not score: doc1 gets nothing from 'apple'.
+    engine = InvertedIndex(idx)
+    res = dict(engine.score_batch([{"apple"}], top_k=10)[0])
+    assert res == {0: 7, 2: 2}
+
+    # Round-trip: load() re-splits and save() reproduces identical bytes.
+    idx2 = InvertedIndexData.load(out, num_docs=3)
+    assert idx2.num_postings == 3  # scored postings only
+    out2 = tmp_path / "zidx2"
+    idx2.save(out2)
+    assert (out2 / "inverted_index.dat").read_bytes() == expected
+    assert (out2 / "inverted_index.idx").read_bytes() == locs
+    res2 = dict(InvertedIndex(idx2).score_batch([{"apple", "pear"}], top_k=10)[0])
+    assert res2 == {0: 7, 2: 2, 1: 3}

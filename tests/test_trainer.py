@@ -144,3 +144,79 @@ def test_multi_device_data_parallel(tiny_tokenizer, tmp_path, cpu_devices):
     # And the sharded trainer actually trains.
     avg = t2.train(batches[:3], total_steps=3)
     assert np.isfinite(avg)
+
+
+def test_grad_accum_trailing_flush_and_opt_step_count(tiny_tokenizer, tmp_path):
+    """accum=2 over 3 batches: the trailing partial window is flushed (params
+    move past the full-window point) and manager.step counts optimizer steps
+    (2), not micro-batches (3)."""
+    import jax
+
+    batches = _batches(tiny_tokenizer, "pairwise_ce")[:3]
+    cfg = dict(batch_size=2, lr=1e-3, save_every=10**6, eval_every=10**9,
+               grad_accumulation_steps=2)
+
+    m1 = _model(tiny_tokenizer)
+    t1 = Trainer(m1, TrainConfig(**cfg), tmp_path / "flush")
+    t1.train(batches, total_steps=3)
+    assert t1.manager.step == 2  # one full window + one flushed partial
+
+    m2 = _model(tiny_tokenizer)
+    t2 = Trainer(m2, TrainConfig(**cfg), tmp_path / "noflush")
+    t2.train(batches[:2], total_steps=2)  # the full window only
+    assert t2.manager.step == 1
+
+    pairs = zip(jax.tree_util.tree_leaves(t1.params), jax.tree_util.tree_leaves(t2.params))
+    assert any(not np.allclose(np.asarray(a), np.asarray(b)) for a, b in pairs)
+
+
+def test_resume_with_accum_matches_unbroken_run(tiny_tokenizer, tmp_path):
+    """Optimizer-step-counted resume under accum=2: split run (4 batches,
+    checkpoint, resume, 2 more) matches the unbroken 6-batch run exactly."""
+    import jax
+
+    batches = _batches(tiny_tokenizer, "pairwise_ce")[:6]
+    cfg = TrainConfig(batch_size=2, lr=1e-3, save_every=1, eval_every=10**9,
+                      grad_accumulation_steps=2)
+
+    m1 = _model(tiny_tokenizer)
+    t1 = Trainer(m1, cfg, tmp_path / "unbroken")
+    t1.train(batches)
+    assert t1.manager.step == 3
+
+    m2 = _model(tiny_tokenizer)
+    t2 = Trainer(m2, cfg, tmp_path / "split")
+    t2.train(batches[:4])
+
+    m3 = _model(tiny_tokenizer)
+    t3 = Trainer(m3, cfg, tmp_path / "split")
+    skip = t3.maybe_resume()
+    assert skip == 4  # 2 optimizer steps x accum 2 micro-batches
+    t3.train(batches, skip=skip)
+    assert t3.manager.step == 3
+
+    for a, b in zip(jax.tree_util.tree_leaves(t1.params), jax.tree_util.tree_leaves(t3.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_load_params_unwraps_manager_payload(tiny_tokenizer, tmp_path):
+    """Trainer checkpoints ({'params','opt_state'}) must load via
+    load_params(like=...) so train-CLI output feeds the index/rank CLIs
+    (reference ModelCheckpoint.load unwraps model_state_dict)."""
+    import jax
+    import optax
+
+    from improving_learned_index_tpu.core.checkpoint import CheckpointManager, load_params
+
+    m = _model(tiny_tokenizer)
+    mgr = CheckpointManager(tmp_path, name="DeepImpact", save_every=1)
+    opt_state = optax.adam(1e-3).init(m.params)
+    mgr.save("latest", m.params, opt_state)
+
+    loaded = load_params(tmp_path / "DeepImpact_latest.msgpack", like=m.params)
+    for a, b in zip(jax.tree_util.tree_leaves(m.params), jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # like=None path unwraps too
+    raw = load_params(tmp_path / "DeepImpact_latest.msgpack")
+    assert "params" not in raw or "opt_state" not in raw  # bare params tree
