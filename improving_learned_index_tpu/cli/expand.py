@@ -29,6 +29,11 @@ def main(argv=None) -> int:
     parser.add_argument("--top_p", type=float, default=0.95)
     parser.add_argument("--max_tokens", type=int, default=350)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--int8", action="store_true",
+                        help="weight-only int8 quantized decode — halves HBM "
+                        "residency/bandwidth so 7B fits a 16GB chip (the TPU "
+                        "counterpart of the reference's NF4 4-bit load, "
+                        "src/llama2/generate.py:37-45)")
     parser.add_argument("--tiny", action="store_true", help="tiny random model (smoke)")
     parser.add_argument("--t5", type=str, default=None, metavar="MODEL",
                         help="use a T5/mT5 checkpoint (e.g. an mT5 doc2query "
@@ -103,6 +108,13 @@ def main(argv=None) -> int:
                 args.peft_path, like=init_lora_params(params, lcfg, jax.random.PRNGKey(0))
             )
             params = merge_lora(params, lora, lcfg)
+
+    if args.int8:
+        import jax as _jax
+
+        from ..models.quantization import quantize_params_int8
+
+        params = quantize_params_int8(_jax.device_get(params))
 
     generator = QueryGenerator(
         params,

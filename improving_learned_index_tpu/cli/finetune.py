@@ -39,6 +39,10 @@ def main(argv=None) -> int:
     parser.add_argument("--total_steps", type=int, default=None)
     parser.add_argument("--enable_profiler", action="store_true")
     parser.add_argument("--tiny", action="store_true", help="tiny random model (smoke)")
+    parser.add_argument("--int8_base", action="store_true",
+                        help="QLoRA mode: frozen base kept int8 in HBM, "
+                        "dequantized inside the jitted step (the reference's "
+                        "NF4 4-bit base, finetune.py:103-108/finetune_4bit.py)")
     args = parser.parse_args(argv)
 
     if args.tiny:
@@ -103,6 +107,7 @@ def main(argv=None) -> int:
         max_length=args.max_length,
         eos_token_id=eos_id,
         pad_token_id=pad_id,
+        quantize_base_int8=args.int8_base,
     )
     from ..core.profiling import trace
 

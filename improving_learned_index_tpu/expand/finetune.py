@@ -93,6 +93,7 @@ class Doc2QueryFineTuner:
         eos_token_id: int = 2,
         pad_token_id: int = 0,
         seed: int = 0,
+        quantize_base_int8: bool = False,
     ):
         self.base_params = params
         self.config = config
@@ -104,13 +105,24 @@ class Doc2QueryFineTuner:
         self.pad_token_id = pad_token_id
         self.module = LlamaModel(config)
         self.lora = init_lora_params(params, lora_config, jax.random.PRNGKey(seed))
+        if quantize_base_int8:
+            # QLoRA mode proper: the frozen base lives in HBM as int8 (the
+            # reference's NF4 4-bit base, finetune.py:103-108 /
+            # finetune_4bit.py) and dequantizes inside the jitted step;
+            # adapters stay fp32 and are the only gradient path.
+            from ..models.quantization import quantize_params_int8
+
+            self.base_params = quantize_params_int8(jax.device_get(params))
         self.tx = optax.adamw(lr)
         self.opt_state = self.tx.init(self.lora)
 
         module, lcfg = self.module, lora_config
 
         def loss_fn(lora, base_params, batch):
-            merged = lora_forward_params(base_params, lora, lcfg)
+            from ..models.quantization import dequantize_params
+
+            base = dequantize_params(base_params, dtype=jnp.dtype(config.dtype))
+            merged = lora_forward_params(base, lora, lcfg)
             logits, _ = module.apply(
                 {"params": merged}, batch["input_ids"], batch["attention_mask"]
             )
@@ -160,10 +172,14 @@ class Doc2QueryFineTuner:
         return total_loss / max(step, 1)
 
     def merged_params(self):
-        """Base weights with adapters folded in (reference finetune/merge.py)."""
+        """Base weights with adapters folded in (reference finetune/merge.py).
+        A quantized base dequantizes to fp32 first, like peft's
+        merge_and_unload on a 4-bit model."""
+        from ..models.quantization import dequantize_params
         from .lora import merge_lora
 
-        return merge_lora(self.base_params, self.lora, self.lora_config)
+        base = dequantize_params(self.base_params, dtype=jnp.float32)
+        return merge_lora(base, self.lora, self.lora_config)
 
     def save_adapter(self, path) -> None:
         from ..core.checkpoint import save_params

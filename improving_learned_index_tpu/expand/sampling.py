@@ -20,6 +20,7 @@ import numpy as np
 
 from ..core.config import GenerationConfig
 from ..models.llama import LlamaConfig, LlamaModel, make_kv_caches
+from ..models.quantization import dequantize_params
 
 
 def top_k_top_p_filter(logits: jnp.ndarray, top_k: int, top_p: float) -> jnp.ndarray:
@@ -60,6 +61,11 @@ class Sampler:
 
         @jax.jit
         def run(params, input_ids, attention_mask, rng):
+            # int8 weight-only support: {"q","s"} leaves dequantize here,
+            # inside jit, so XLA fuses the int8->bf16 multiply into each
+            # weight's consuming matmul (models.quantization).  Full-
+            # precision trees pass through unchanged.
+            params = dequantize_params(params, dtype=jnp.dtype(config.dtype))
             bsz, prompt_len = input_ids.shape
             total = prompt_len + max_new
             caches = make_kv_caches(config, bsz, total)

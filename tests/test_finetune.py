@@ -81,3 +81,43 @@ def test_finetune_loss_decreases_and_only_lora_updates():
         for a, b in zip(jax.tree_util.tree_leaves(base_snapshot), jax.tree_util.tree_leaves(merged))
     ]
     assert max(diffs) > 0
+
+
+def test_finetune_int8_base_qlora(tmp_path):
+    """QLoRA mode: frozen int8 base + fp LoRA adapters — a step runs, loss is
+    finite and decreases, and only adapters change."""
+    import jax
+    import numpy as np
+
+    from improving_learned_index_tpu.expand.finetune import Doc2QueryFineTuner
+    from improving_learned_index_tpu.expand.lora import LoraConfig
+    from improving_learned_index_tpu.models.llama import LlamaConfig, init_llama_params
+
+    class ByteTok:
+        def encode(self, t):
+            return [1] + [b % 250 + 3 for b in t.encode()[:40]]
+
+    config = LlamaConfig.tiny()
+    params = init_llama_params(config, jax.random.PRNGKey(0))
+    ft = Doc2QueryFineTuner(
+        params, config, ByteTok(), lora_config=LoraConfig(r=4, alpha=8),
+        lr=1e-3, max_length=64, quantize_base_int8=True,
+    )
+    # base is quantized: 2-D kernels became {"q","s"} leaves
+    qleaf = ft.base_params["layer_0"]["mlp"]["gate_proj"]["kernel"]
+    assert set(qleaf.keys()) == {"q", "s"}
+
+    pairs = [("a document about foxes", "what do foxes eat"),
+             ("a document about indexes", "how are indexes built")] * 4
+    lora_before = jax.tree_util.tree_map(np.asarray, ft.lora)
+    avg1 = ft.train(iter(pairs[:4]), batch_size=2)
+    avg2 = ft.train(iter(pairs), batch_size=2)
+    assert np.isfinite(avg1) and np.isfinite(avg2)
+    changed = any(
+        not np.array_equal(a, np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(lora_before), jax.tree_util.tree_leaves(ft.lora))
+    )
+    assert changed
+    # merged params dequantize + fold adapters: usable by the model
+    merged = ft.merged_params()
+    assert merged["layer_0"]["mlp"]["gate_proj"]["kernel"].ndim == 2

@@ -1,0 +1,129 @@
+"""HybridSearchEngine (dense heavy rows + tail scatter + exact integer
+top-k): exact agreement with the host engine, including ties, heavy/tail
+splits, unknown terms, and approx mode sanity."""
+
+import numpy as np
+import pytest
+
+from improving_learned_index_tpu.core.config import SearchConfig
+from improving_learned_index_tpu.index.inverted import InvertedIndexData
+from improving_learned_index_tpu.ops.exact_topk import exact_topk_integer
+from improving_learned_index_tpu.search.engine import InvertedIndex
+from improving_learned_index_tpu.search.hybrid_engine import HybridSearchEngine
+
+
+def _random_index(rng, num_docs=500, vocab_size=60, postings=6000, zipf=True):
+    """Zipf-ish synthetic quantized index."""
+    if zipf:
+        p = 1.0 / np.arange(1, vocab_size + 1)
+        p /= p.sum()
+        tids = rng.choice(vocab_size, size=postings, p=p)
+    else:
+        tids = rng.integers(0, vocab_size, postings)
+    docs = rng.integers(0, num_docs, postings)
+    vals = rng.integers(1, 256, postings)
+    per_doc = {}
+    for t, d, v in zip(tids, docs, vals):
+        per_doc.setdefault(int(d), {})[f"t{t}"] = int(v)
+    return InvertedIndexData.build(sorted(per_doc.items()), num_docs=num_docs)
+
+
+def _assert_topk_equivalent(ours, theirs, k):
+    """Same scores at every rank; same doc set above the k-th score (the
+    boundary-tie doc choice is implementation-defined, as in the reference
+    heapq)."""
+    assert len(ours) <= k and len(theirs) <= k
+    assert [s for _, s in ours] == [s for _, s in theirs]
+    if not ours:
+        return
+    boundary = ours[-1][1]
+    assert {d for d, s in ours if s > boundary} == {d for d, s in theirs if s > boundary}
+    assert dict(theirs) .keys() >= {d for d, s in ours if s > boundary}
+
+
+@pytest.mark.parametrize("heavy_min", [1, 64, 10**9])
+def test_hybrid_matches_host(heavy_min):
+    """heavy_min=1: everything dense; 10**9: everything tail; 64: mixed."""
+    rng = np.random.default_rng(7)
+    index = _random_index(rng)
+    host = InvertedIndex(index)
+    hybrid = HybridSearchEngine(index, heavy_min=heavy_min)
+    queries = [
+        {"t0", "t1", "t5"},
+        {"t2", "t40", "unknown-term"},
+        {f"t{i}" for i in range(20)},
+        set(),
+        {"unknown-only"},
+    ]
+    k = 50
+    h = host.score_batch(queries, k)
+    y = hybrid.score_batch(queries, k)
+    for ours, theirs in zip(y, h):
+        _assert_topk_equivalent(ours, theirs, k)
+
+
+def test_hybrid_full_depth_exact():
+    """k >= num_docs: the full score vectors must match exactly."""
+    rng = np.random.default_rng(3)
+    index = _random_index(rng, num_docs=150, vocab_size=30, postings=2500)
+    host = InvertedIndex(index)
+    hybrid = HybridSearchEngine(index, heavy_min=32)
+    queries = [{"t0", "t1", "t2", "t3"}, {"t4", "t9"}]
+    h = host.score_batch(queries, 150)
+    y = hybrid.score_batch(queries, 150)
+    for ours, theirs in zip(y, h):
+        assert dict(ours) == dict(theirs)
+
+
+def test_hybrid_dense_budget_caps_rows():
+    rng = np.random.default_rng(1)
+    index = _random_index(rng, num_docs=300, vocab_size=40, postings=4000)
+    # Budget for only 2 dense rows: the 2 longest lists go dense, rest tail.
+    eng = HybridSearchEngine(index, heavy_min=1, dense_budget_bytes=2 * 2 * 384)
+    assert eng.t_heavy == 2
+    host = InvertedIndex(index)
+    queries = [{f"t{i}" for i in range(10)}]
+    _assert_topk_equivalent(
+        eng.score_batch(queries, 20)[0], host.score_batch(queries, 20)[0], 20
+    )
+
+
+def test_hybrid_approx_mode_runs():
+    rng = np.random.default_rng(5)
+    index = _random_index(rng)
+    eng = HybridSearchEngine(index, config=SearchConfig(approx_top_k=True))
+    out = eng.score_batch([{"t0", "t1"}], 10)[0]
+    assert all(s > 0 for _, s in out)
+
+
+def test_exact_topk_integer_vs_numpy():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    for _ in range(4):
+        scores = rng.integers(0, 31, (6, 3000)).astype(np.float32)  # heavy ties
+        scores[2, :] = 0.0
+        v, i = exact_topk_integer(jnp.asarray(scores), 100)
+        v, i = np.asarray(v), np.asarray(i)
+        ref = -np.sort(-scores, axis=1)[:, :100]
+        np.testing.assert_array_equal(v, np.where(ref > 0, ref, 0))
+        for q in range(6):
+            sel = v[q] > 0
+            np.testing.assert_array_equal(scores[q, i[q][sel]], v[q][sel])
+            assert len(set(i[q][sel].tolist())) == sel.sum()
+
+
+def test_hybrid_duplicate_postings_accumulate():
+    """Duplicate (term, doc) postings must sum in the dense rows exactly like
+    the host/scatter paths (regression: dense build once used assignment)."""
+    from improving_learned_index_tpu.index.inverted import InvertedIndexData
+
+    vocab = ["a", "b"]
+    offsets = np.array([0, 3, 4], dtype=np.int64)
+    doc_ids = np.array([0, 0, 1, 0], dtype=np.uint32)  # term 'a' lists doc0 twice
+    impacts = np.array([5, 4, 3, 2], dtype=np.uint8)
+    index = InvertedIndexData(vocab, offsets, doc_ids, impacts, num_docs=2)
+    host = InvertedIndex(index)
+    hybrid = HybridSearchEngine(index, heavy_min=1)  # all dense
+    q = [{"a", "b"}]
+    assert dict(hybrid.score_batch(q, 2)[0]) == dict(host.score_batch(q, 2)[0]) == {0: 11.0, 1: 3.0}

@@ -1,0 +1,92 @@
+"""Weight-only int8 quantization: roundtrip error bounds, Llama logits
+parity, quantized decode through the Sampler (VERDICT round-1 item 6 — the
+TPU answer to the reference's NF4 4-bit load, src/llama2/generate.py:37-45)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from improving_learned_index_tpu.core.config import GenerationConfig
+from improving_learned_index_tpu.expand.sampling import Sampler
+from improving_learned_index_tpu.models.llama import (
+    LlamaConfig,
+    LlamaModel,
+    init_llama_params,
+)
+from improving_learned_index_tpu.models.quantization import (
+    dequantize_params,
+    quantize_params_int8,
+    random_quantized_like_config,
+)
+
+
+def test_roundtrip_error_bound():
+    rng = np.random.default_rng(0)
+    params = {
+        "layer": {"kernel": rng.standard_normal((64, 32)).astype(np.float32)},
+        "norm": {"scale": np.ones(32, np.float32)},
+        "embed_tokens": {"embedding": rng.standard_normal((100, 16)).astype(np.float32)},
+    }
+    q = quantize_params_int8(params)
+    assert set(q["layer"]["kernel"].keys()) == {"q", "s"}
+    assert q["layer"]["kernel"]["q"].dtype == np.int8
+    # norms and embeddings stay full precision
+    assert isinstance(q["norm"]["scale"], np.ndarray)
+    assert isinstance(q["embed_tokens"]["embedding"], np.ndarray)
+
+    dq = dequantize_params(q, dtype=jnp.float32)
+    w, w2 = params["layer"]["kernel"], np.asarray(dq["layer"]["kernel"])
+    # symmetric per-channel: |err| <= scale/2 = amax/254 per element
+    amax = np.abs(w).max(axis=0, keepdims=True)
+    assert np.all(np.abs(w - w2) <= amax / 254 + 1e-7)
+    np.testing.assert_array_equal(np.asarray(dq["norm"]["scale"]), params["norm"]["scale"])
+
+
+def test_llama_logits_parity_int8():
+    config = LlamaConfig.tiny()
+    params = init_llama_params(config, jax.random.PRNGKey(0))
+    model = LlamaModel(config)
+    ids = jnp.asarray(np.random.default_rng(0).integers(1, config.vocab_size, (2, 12)))
+    mask = jnp.ones_like(ids)
+
+    fp_logits, _ = model.apply({"params": params}, ids, mask)
+    qparams = quantize_params_int8(jax.device_get(params))
+    dq = dequantize_params(qparams, dtype=jnp.float32)
+    q_logits, _ = model.apply({"params": dq}, ids, mask)
+
+    a = np.asarray(fp_logits).reshape(-1, config.vocab_size)
+    b = np.asarray(q_logits).reshape(-1, config.vocab_size)
+    cos = np.sum(a * b, axis=1) / (
+        np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1) + 1e-9
+    )
+    assert np.all(cos > 0.995), cos.min()
+    # distributional closeness: top-1 agreement on most positions
+    agree = (a.argmax(1) == b.argmax(1)).mean()
+    assert agree >= 0.8, agree
+
+
+def test_sampler_decodes_with_quantized_params():
+    config = LlamaConfig.tiny()
+    params = init_llama_params(config, jax.random.PRNGKey(0))
+    qparams = quantize_params_int8(jax.device_get(params))
+    gen = GenerationConfig(max_new_tokens=6, num_return_sequences=2, top_k=10, top_p=0.95)
+    sampler = Sampler(config, gen, eos_token_id=2)
+    ids = np.asarray([[0, 5, 9, 11], [0, 0, 7, 13]], dtype=np.int32)
+    mask = (ids != 0).astype(np.int32)
+    out = sampler.generate(qparams, ids, mask, num_return_sequences=2, seed=0)
+    assert out.shape == (4, 6)
+    assert out.dtype == np.int32
+    # deterministic under the same seed
+    out2 = sampler.generate(qparams, ids, mask, num_return_sequences=2, seed=0)
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_random_quantized_builder_shapes():
+    config = LlamaConfig.tiny()
+    qp = random_quantized_like_config(config, np.random.default_rng(0))
+    dq = dequantize_params(qp, dtype=jnp.float32)
+    model = LlamaModel(config)
+    ids = jnp.ones((1, 4), dtype=jnp.int32)
+    logits, _ = model.apply({"params": dq}, ids, jnp.ones_like(ids))
+    assert logits.shape == (1, 4, config.vocab_size)
+    assert np.isfinite(np.asarray(logits)).all()
