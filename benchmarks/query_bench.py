@@ -123,6 +123,10 @@ def main():
 
     need_disk = {"native", "refpy"} & set(engines)
     if need_disk:
+        # key the cached on-disk copy by the workload so edits to the
+        # generator can't leave a stale index behind
+        fingerprint = f"{NUM_DOCS}-{NUM_POSTINGS}-{index.num_postings}-dedup"
+        args.workdir = args.workdir / fingerprint
         args.workdir.mkdir(parents=True, exist_ok=True)
         if not (args.workdir / "inverted_index.dat").exists():
             print("saving on-disk index...", file=sys.stderr)

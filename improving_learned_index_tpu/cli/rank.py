@@ -19,7 +19,7 @@ def main(argv=None) -> int:
     parser.add_argument("--qrels_path", type=Path, default=None)
     parser.add_argument("--dataset_type", choices=["msmarco", "beir"], default="msmarco")
     parser.add_argument("--pairwise", action="store_true")
-    parser.add_argument("--engine", choices=["device", "host", "native"], default="device")
+    parser.add_argument("--engine", choices=["device", "hybrid", "host", "native"], default="device")
     parser.add_argument("--top_k", type=int, default=1000)
     parser.add_argument("--approx_top_k", action="store_true",
                         help="hardware-friendly approximate top-k (device engine)")

@@ -33,7 +33,7 @@ class Ranker:
         qrels_path: Optional[Union[str, Path]] = None,
         dataset_type: str = "msmarco",
         pairwise: bool = False,
-        engine: str = "device",  # device | host | native
+        engine: str = "device",  # device | hybrid | host | native
         batch_size: int = 256,
         top_k: int = 1000,
         approx_top_k: bool = False,
@@ -57,6 +57,15 @@ class Ranker:
                 from ..core.config import SearchConfig
 
                 self.engine = DeviceSearchEngine(
+                    index, SearchConfig(approx_top_k=approx_top_k)
+                )
+            elif engine == "hybrid":
+                # corpus-scale TPU path: dense heavy-term matmul + exact
+                # integer top-k (search.hybrid_engine)
+                from ..core.config import SearchConfig
+                from ..search.hybrid_engine import HybridSearchEngine
+
+                self.engine = HybridSearchEngine(
                     index, SearchConfig(approx_top_k=approx_top_k)
                 )
             elif engine == "host":

@@ -27,8 +27,10 @@ Measured (v5e-1, 1M docs / 5.7M postings / 64 queries, k=1000): this kernel
 one-hot reformulation costs BLK VPU-ops per posting, and XLA's scatter on
 v5e turns out to be strong at this postings density.  The kernel is kept as
 a correct, tested alternative (DMA double-buffering, scalar-prefetch chunk
-tables, MXU accumulation) and as the base for denser-workload regimes where
-the matmul formulation wins.
+tables, MXU accumulation).  The production corpus-scale path is
+search.hybrid_engine (dense heavy-term rows: the matmul formulation taken to
+its limit — density 1.0 — where the MXU wins outright; 819 q/s exact at 1M
+docs vs 203 q/s for this kernel).
 """
 
 from __future__ import annotations

@@ -20,10 +20,11 @@ beyond boundary noise.
 
 Scale guidance (measured, v5e-1 vs 1 CPU core): this engine wins when the
 corpus fits comfortably in a [Q, num_docs] accumulator and queries arrive in
-batches (NanoBEIR-scale in-training eval); at ~1M docs/5.7M postings the
-single-core native C++ engine is ~3x faster (505 vs 158 q/s) because XLA
-scatter-add dominates — a doc-block-partitioned Pallas kernel is the planned
-fix.
+batches (NanoBEIR-scale in-training eval, float impacts).  For quantized
+corpus-scale retrieval use search.hybrid_engine.HybridSearchEngine: dense
+heavy-term matmul + exact integer top-k, measured 819 q/s exact at 1M docs /
+5.7M postings vs 101 q/s for the native C++ engine on the same workload
+(benchmarks/query_bench.py).
 """
 
 from __future__ import annotations

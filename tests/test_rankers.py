@@ -35,7 +35,7 @@ def setup(request, tmp_path_factory):
     return model, root, collection, queries, qrels, index_dir
 
 
-@pytest.mark.parametrize("engine", ["device", "host"])
+@pytest.mark.parametrize("engine", ["device", "hybrid", "host"])
 def test_rank_to_run_file(setup, tmp_path, engine):
     model, root, collection, queries, qrels, index_dir = setup
     out = tmp_path / f"run_{engine}.tsv"
@@ -58,7 +58,7 @@ def test_rank_to_run_file(setup, tmp_path, engine):
 def test_rank_engines_agree(setup, tmp_path):
     model, root, collection, queries, qrels, index_dir = setup
     outs = {}
-    for engine in ("device", "host"):
+    for engine in ("device", "hybrid", "host"):
         out = tmp_path / f"agree_{engine}.tsv"
         Ranker(
             index_path=index_dir,

@@ -220,3 +220,42 @@ def test_load_params_unwraps_manager_payload(tiny_tokenizer, tmp_path):
     # like=None path unwraps too
     raw = load_params(tmp_path / "DeepImpact_latest.msgpack")
     assert "params" not in raw or "opt_state" not in raw  # bare params tree
+
+
+def test_initialize_distributed_single_host(tmp_path):
+    """parallel.mesh.initialize_distributed stands in for torchrun/NCCL
+    process groups (SURVEY §2.7): a single-host coordination service comes
+    up, process rank/count are visible, and a mesh builds over the forced
+    CPU devices.  Runs in a subprocess because jax.distributed must
+    initialize before the backend."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    code = textwrap.dedent(
+        """
+        import os, sys
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        sys.path.insert(0, %r)
+        from improving_learned_index_tpu.core.config import MeshConfig
+        from improving_learned_index_tpu.parallel.mesh import (
+            initialize_distributed, make_mesh)
+        initialize_distributed("localhost:19731", num_processes=1, process_id=0)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        assert jax.process_count() == 1 and jax.process_index() == 0
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        mesh = make_mesh(MeshConfig(data=2, model=2))
+        x = jax.device_put(jnp.arange(8.0), NamedSharding(mesh, P("data")))
+        print("dist ok:", float(jnp.sum(x)), jax.device_count())
+        """
+    ) % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True, text=True, timeout=240
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dist ok: 28.0 4" in proc.stdout
