@@ -1,0 +1,71 @@
+"""Doc-sharded multi-chip query engine on the 8-device CPU mesh: exact
+agreement with the host engine; the per-shard top-k + all_gather merge is
+lossless."""
+
+import numpy as np
+import pytest
+
+from improving_learned_index_tpu.core.config import MeshConfig
+from improving_learned_index_tpu.index.inverted import InvertedIndexData
+from improving_learned_index_tpu.parallel.mesh import make_mesh
+from improving_learned_index_tpu.search.engine import InvertedIndex
+from improving_learned_index_tpu.search.sharded_engine import ShardedSearchEngine
+
+
+def _random_index(rng, num_docs=700, vocab_size=50, postings=7000):
+    p = 1.0 / np.arange(1, vocab_size + 1)
+    p /= p.sum()
+    tids = rng.choice(vocab_size, size=postings, p=p)
+    docs = rng.integers(0, num_docs, postings)
+    vals = rng.integers(1, 256, postings)
+    per_doc = {}
+    for t, d, v in zip(tids, docs, vals):
+        per_doc.setdefault(int(d), {})[f"t{t}"] = int(v)
+    return InvertedIndexData.build(sorted(per_doc.items()), num_docs=num_docs)
+
+
+@pytest.fixture(scope="module")
+def mesh(request):
+    request.getfixturevalue("cpu_devices")
+    import numpy as _np
+    import jax
+    from jax.sharding import Mesh
+
+    return Mesh(_np.asarray(jax.devices()[:8]), axis_names=("data",))
+
+
+@pytest.mark.parametrize("heavy_min", [1, 48, 10**9])
+def test_sharded_matches_host(mesh, heavy_min):
+    rng = np.random.default_rng(11)
+    index = _random_index(rng)
+    host = InvertedIndex(index)
+    sharded = ShardedSearchEngine(index, mesh, heavy_min=heavy_min)
+    queries = [
+        {"t0", "t1", "t7"},
+        {f"t{i}" for i in range(25)},
+        {"t3", "missing-term"},
+        set(),
+    ]
+    k = 40
+    h = host.score_batch(queries, k)
+    y = sharded.score_batch(queries, k)
+    for ours, theirs in zip(y, h):
+        assert [s for _, s in ours] == [s for _, s in theirs]
+        if ours:
+            boundary = ours[-1][1]
+            assert {d for d, s in ours if s > boundary} == {
+                d for d, s in theirs if s > boundary
+            }
+
+
+def test_sharded_full_depth(mesh):
+    """k >= num_docs: full score vectors identical (merge is lossless)."""
+    rng = np.random.default_rng(2)
+    index = _random_index(rng, num_docs=200, vocab_size=20, postings=2000)
+    host = InvertedIndex(index)
+    sharded = ShardedSearchEngine(index, mesh, heavy_min=64)
+    queries = [{"t0", "t1", "t2"}, {"t5"}]
+    h = host.score_batch(queries, 200)
+    y = sharded.score_batch(queries, 200)
+    for ours, theirs in zip(y, h):
+        assert dict(ours) == dict(theirs)
