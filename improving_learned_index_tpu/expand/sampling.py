@@ -61,11 +61,17 @@ class Sampler:
 
         @jax.jit
         def run(params, input_ids, attention_mask, rng):
-            # int8 weight-only support: {"q","s"} leaves dequantize here,
-            # inside jit, so XLA fuses the int8->bf16 multiply into each
-            # weight's consuming matmul (models.quantization).  Full-
-            # precision trees pass through unchanged.
-            params = dequantize_params(params, dtype=jnp.dtype(config.dtype))
+            # int8 weight-only support: {"q","s"} leaves dequantize AT EACH
+            # USE, never as a whole tree.  The decode while_loop must capture
+            # the int8 tree, not the dequantized one — a bf16 tree captured
+            # by the loop stays live for the loop's entire duration (13.4GB
+            # for 7B -> OOM on a 16GB chip).  Inside the body an
+            # optimization_barrier pins the dequant to the loop iteration so
+            # XLA's loop-invariant code motion can't hoist the full-precision
+            # weights back out.  Full-precision trees pass through unchanged.
+            def deq(p):
+                return dequantize_params(p, dtype=jnp.dtype(config.dtype))
+
             bsz, prompt_len = input_ids.shape
             total = prompt_len + max_new
             caches = make_kv_caches(config, bsz, total)
@@ -79,7 +85,7 @@ class Sampler:
                 axis=1,
             )
             logits, caches = module.apply(
-                {"params": params},
+                {"params": deq(params)},
                 input_ids,
                 slot_mask,
                 positions=positions,
@@ -112,8 +118,9 @@ class Sampler:
                 cache_index = prompt_len + t - 1
                 slot_mask = slot_mask.at[:, cache_index].set(1)
                 pos = (prompt_lens + t - 1)[:, None].astype(jnp.int32)
+                step_params = deq(jax.lax.optimization_barrier(params))
                 logits, caches = module.apply(
-                    {"params": params},
+                    {"params": step_params},
                     cur[:, None],
                     slot_mask,
                     positions=pos,

@@ -236,3 +236,18 @@ def test_cli_train_to_index_checkpoint_handoff(workspace, tmp_path):
         "--model_batch_size", "4",
     ]) == 0
     assert (tmp_path / "handoff.index").read_text().count("\n") == 8
+
+
+def test_cli_expand_int8(workspace, tmp_path):
+    """--int8 quantized decode through the expand CLI (tiny model)."""
+    out = tmp_path / "expansions_int8.jsonl"
+    assert cli_expand.main([
+        "--collection_path", str(workspace / "collection.tsv"),
+        "--output_path", str(out),
+        "--tiny", "--int8", "--batch_size", "2", "--num_docs", "2",
+        "--num_return_sequences", "2", "--max_new_tokens", "4",
+    ]) == 0
+    lines = out.read_text().splitlines()
+    assert len(lines) == 2
+    rec = json.loads(lines[0])
+    assert rec["doc_id"] == "0" and len(rec["queries"]) == 2
