@@ -115,6 +115,10 @@ class DeepImpact:
             max_terms = self.max_length
         n = len(encodings)
         b = _bucket(n)
+        n_data = 1
+        if self.mesh is not None:
+            n_data = int(self.mesh.shape.get("data", self.mesh.devices.size))
+            b = max(b, n_data)  # batch must divide over the data axis
         arrays = batch_arrays(encodings)
         slots, _, terms = batch_term_slots(encodings, max_terms)
         if b != n:
@@ -123,6 +127,18 @@ class DeepImpact:
                 k: np.concatenate([v, np.tile(v[-1:], (pad, 1))]) for k, v in arrays.items()
             }
             slots = np.concatenate([slots, np.tile(slots[-1:], (pad, 1))])
+        if n_data > 1:
+            # data-parallel encode: batch sharded over the mesh's data axis,
+            # params replicated (replaces torch DataParallel scatter,
+            # reference indexing/indexer.py:25-26)
+            from ..parallel.mesh import data_sharding, replicated
+
+            if not getattr(self, "_params_placed", False):
+                self.params = jax.device_put(self.params, replicated(self.mesh))
+                self._params_placed = True
+            sh = data_sharding(self.mesh, 2)
+            arrays = {k: jax.device_put(v, sh) for k, v in arrays.items()}
+            slots = jax.device_put(slots, sh)
         scores = self._term_scores(
             self.params,
             arrays["input_ids"],
