@@ -115,6 +115,18 @@ def main() -> int:
     ).run()
     metrics = Metrics(run_file, qrels, mrr_depths=[10], recall_depths=[10]).evaluate()
     print(f"5. metrics: {metrics}")
+
+    # -- 6. corpus-scale engine: same index through the hybrid path -------
+    from improving_learned_index_tpu.search import HybridSearchEngine, InvertedIndex
+
+    hybrid = HybridSearchEngine(InvertedIndexData.load(index_dir, num_docs=len(CORPUS)))
+    host = InvertedIndex(InvertedIndexData.load(index_dir, num_docs=len(CORPUS)))
+    q = tokenizer.process_query(QUERIES[0][1])
+    assert [s for _, s in hybrid.score_batch([q], 3)[0]] == [
+        s for _, s in host.score_batch([q], 3)[0]
+    ]
+    print("6. hybrid engine (dense heavy rows + exact integer top-k) agrees "
+          "with the host engine")
     print(
         "note: random demo weights -> meaningless scores; import a trained "
         "checkpoint (models.hf_import / core.checkpoint) for real retrieval."
