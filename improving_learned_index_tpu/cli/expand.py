@@ -175,6 +175,10 @@ def _t5_main(args) -> int:
         params = hf_t5_to_flax(
             T5ForConditionalGeneration.from_pretrained(args.t5).state_dict(), config
         )
+    if args.int8:
+        from ..models.quantization import quantize_params_int8
+
+        params = quantize_params_int8(params)
     hf_tok = AutoTokenizer.from_pretrained(args.t5)
 
     class HFTok:

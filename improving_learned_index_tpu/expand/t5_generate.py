@@ -41,10 +41,19 @@ class T5Sampler:
 
         @jax.jit
         def run(params, enc_ids, enc_mask, rng):
+            # int8 weight-only support (models.quantization): dequantize per
+            # use; the while_loop captures the int8 tree and the body
+            # dequantizes behind an optimization_barrier so the fp weights
+            # never become a loop-lifetime capture (see expand.sampling).
+            from ..models.quantization import dequantize_params
+
+            def deq(pr):
+                return dequantize_params(pr, dtype=jnp.float32)
+
             bsz = enc_ids.shape[0]
-            enc_out = module.apply({"params": params}, enc_ids, enc_mask, method=T5Model.encode)
+            enc_out = module.apply({"params": deq(params)}, enc_ids, enc_mask, method=T5Model.encode)
             cross_kvs = module.apply(
-                {"params": params}, enc_out, method=T5Model.compute_cross_kvs
+                {"params": deq(params)}, enc_out, method=T5Model.compute_cross_kvs
             )
             caches = make_t5_kv_caches(config, bsz, max_new + 1)
 
@@ -64,8 +73,9 @@ class T5Sampler:
             def body(state):
                 t, caches, out_tokens, finished, rng = state
                 cur = jnp.where(t == 0, jnp.full((bsz,), start_id, jnp.int32), out_tokens[:, jnp.maximum(t - 1, 0)])
+                step_params = deq(jax.lax.optimization_barrier(params))
                 logits, caches = module.apply(
-                    {"params": params},
+                    {"params": step_params},
                     cur[:, None],
                     enc_out,
                     enc_mask,

@@ -163,3 +163,28 @@ def test_t5_query_generator_end_to_end():
     out = qg.generate(["some document text", "another doc"], seed=1)
     assert len(out) == 2 and all(len(q) == 2 for q in out)
     assert all(isinstance(s, str) for q in out for s in q)
+
+
+def test_t5_sampler_int8_params():
+    """T5 decode with a weight-only int8 tree (models.quantization)."""
+    import jax
+    import numpy as np
+
+    from improving_learned_index_tpu.core.config import GenerationConfig
+    from improving_learned_index_tpu.expand.t5_generate import T5Sampler
+    from improving_learned_index_tpu.models.quantization import quantize_params_int8
+    from improving_learned_index_tpu.models.t5 import T5Config, T5Model, init_t5_params
+
+    config = T5Config.tiny()
+    params = init_t5_params(config, jax.random.PRNGKey(0))
+    qparams = quantize_params_int8(jax.device_get(params))
+    sampler = T5Sampler(
+        config, GenerationConfig(max_new_tokens=5, num_return_sequences=2, top_k=8),
+        eos_token_id=1, decoder_start_token_id=0,
+    )
+    ids = np.array([[3, 7, 9, 2]], dtype=np.int32)
+    mask = np.ones_like(ids)
+    out = sampler.generate(qparams, ids, mask, num_return_sequences=2, seed=0)
+    assert out.shape == (2, 5)
+    out2 = sampler.generate(qparams, ids, mask, num_return_sequences=2, seed=0)
+    np.testing.assert_array_equal(out, out2)
