@@ -233,37 +233,61 @@ class ShardedSearchEngine:
                 table[s, 0, j], table[s, 1, j], table[s, 2, j] = a, ln, q
         return w, table
 
-    def score_batch(
+    def score_batch_async(
         self,
         query_term_sets: Sequence[Set[str]],
         top_k: Optional[int] = None,
-    ) -> List[List[Tuple[int, float]]]:
+    ):
+        """Dispatch a batch; returns a zero-arg finalizer (same pipelined
+        serving pattern as hybrid_engine.score_batch_async)."""
         if top_k is None:
             top_k = self.config.top_k
         nq = len(query_term_sets)
         if nq == 0:
-            return []
+            return lambda: []
         k_local = min(top_k, self.shard_docs)
         k_final = min(top_k, self.num_docs, self.n_shards * k_local)
         w, table = self._tables(query_term_sets)
         nq_b = _bucket(nq, base=8)
         if nq_b > nq:
             w = np.concatenate([w, np.zeros((nq_b - nq, w.shape[1]), w.dtype)])
-        packed = np.asarray(
-            self._score(
-                self.dense,
-                jnp.asarray(w),
-                self.tail_docs,
-                self.tail_vals,
-                jax.device_put(table, NamedSharding(self.mesh, P(self.axis, None, None))),
-                self._doc_lo_dev,
-                k_local,
-                k_final,
-            )
+        packed = self._score(
+            self.dense,
+            jnp.asarray(w),
+            self.tail_docs,
+            self.tail_vals,
+            jax.device_put(table, NamedSharding(self.mesh, P(self.axis, None, None))),
+            self._doc_lo_dev,
+            k_local,
+            k_final,
         )
-        scores = packed[:nq, 0].view(np.float32)
-        docs = packed[:nq, 1]
-        return [
-            [(int(d), float(s)) for d, s in zip(docs[i], scores[i]) if s > 0]
-            for i in range(nq)
-        ]
+
+        def finalize() -> List[List[Tuple[int, float]]]:
+            host = np.asarray(packed)
+            scores = host[:nq, 0].view(np.float32)
+            docs = host[:nq, 1]
+            return [
+                [(int(d), float(s)) for d, s in zip(docs[i], scores[i]) if s > 0]
+                for i in range(nq)
+            ]
+
+        return finalize
+
+    def score_batch(
+        self,
+        query_term_sets: Sequence[Set[str]],
+        top_k: Optional[int] = None,
+    ) -> List[List[Tuple[int, float]]]:
+        return self.score_batch_async(query_term_sets, top_k)()
+
+    def score_stream(self, query_batches, top_k: Optional[int] = None, depth: int = 2):
+        """Pipelined scoring: keep ``depth`` batches in flight."""
+        from collections import deque
+
+        pending = deque()
+        for batch in query_batches:
+            pending.append(self.score_batch_async(batch, top_k))
+            if len(pending) > depth:
+                yield pending.popleft()()
+        while pending:
+            yield pending.popleft()()

@@ -69,3 +69,16 @@ def test_sharded_full_depth(mesh):
     y = sharded.score_batch(queries, 200)
     for ours, theirs in zip(y, h):
         assert dict(ours) == dict(theirs)
+
+
+def test_sharded_stream_pipelined(mesh):
+    rng = np.random.default_rng(4)
+    index = _random_index(rng, num_docs=300, vocab_size=25, postings=3000)
+    eng = ShardedSearchEngine(index, mesh, heavy_min=48)
+    batch = [{"t0", "t1"}, {"t2", "t3"}]
+    sync = eng.score_batch(batch, 15)
+    outs = list(eng.score_stream([batch, batch, batch], top_k=15, depth=2))
+    assert len(outs) == 3
+    for out in outs:
+        for a, b in zip(out, sync):
+            assert [s for _, s in a] == [s for _, s in b]
