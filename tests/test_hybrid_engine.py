@@ -127,3 +127,16 @@ def test_hybrid_duplicate_postings_accumulate():
     hybrid = HybridSearchEngine(index, heavy_min=1)  # all dense
     q = [{"a", "b"}]
     assert dict(hybrid.score_batch(q, 2)[0]) == dict(host.score_batch(q, 2)[0]) == {0: 11.0, 1: 3.0}
+
+
+def test_hybrid_stream_pipelined():
+    rng = np.random.default_rng(9)
+    index = _random_index(rng, num_docs=300, vocab_size=30, postings=3000)
+    eng = HybridSearchEngine(index, heavy_min=48)
+    batch = [{"t0", "t1"}, {"t2", "t3", "t4"}]
+    sync = eng.score_batch(batch, 15)
+    outs = list(eng.score_stream([batch] * 4, top_k=15, depth=2))
+    assert len(outs) == 4
+    for out in outs:
+        for a, b in zip(out, sync):
+            assert a == b
