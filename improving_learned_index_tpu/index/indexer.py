@@ -78,15 +78,33 @@ class Indexer:
             daemon=True,
         )
         producer.start()
+
+        # Keep one device batch in flight: dispatch batch i+1 before
+        # materializing batch i's scores, so the device->host transfer (and
+        # device compute) overlap the next step instead of serializing.
+        from collections import deque
+
+        pending: deque = deque()
+
+        def drain(entry):
+            scores, terms = entry
+            scores = np.asarray(scores)
+            for i, doc_terms in enumerate(terms):
+                yield [(t, float(scores[i, j])) for j, t in enumerate(doc_terms)]
+
         while True:
             batch = queue.get()
             if batch is None:
                 break
-            scores, terms = self.model.encode_term_scores(
-                batch, max_terms=self.config.max_terms
+            pending.append(
+                self.model.encode_term_scores(
+                    batch, max_terms=self.config.max_terms, materialize=False
+                )
             )
-            for i, doc_terms in enumerate(terms):
-                yield [(t, float(scores[i, j])) for j, t in enumerate(doc_terms)]
+            if len(pending) > 1:
+                yield from drain(pending.popleft())
+        while pending:
+            yield from drain(pending.popleft())
         producer.join()
 
     def index_to_file(

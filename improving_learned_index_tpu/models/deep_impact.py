@@ -103,11 +103,16 @@ class DeepImpact:
         return self._forward(self.params, input_ids, attention_mask, type_ids)
 
     def encode_term_scores(
-        self, encodings: Sequence[DocumentEncoding], max_terms: Optional[int] = None
+        self,
+        encodings: Sequence[DocumentEncoding],
+        max_terms: Optional[int] = None,
+        materialize: bool = True,
     ) -> Tuple[np.ndarray, List[List[str]]]:
         """Encode documents, returning ([B, T] term scores, per-doc term lists).
 
-        Pads the batch to a bucket size to bound the number of compiled shapes.
+        Pads the batch to a bucket size to bound the number of compiled
+        shapes.  ``materialize=False`` returns the scores as a device array
+        (dispatch only, no host sync) so callers can pipeline batches.
         """
         if not encodings:
             return np.zeros((0, 0), dtype=np.float32), []
@@ -145,8 +150,8 @@ class DeepImpact:
             arrays["attention_mask"],
             arrays["type_ids"],
             slots,
-        )
-        return np.asarray(scores[:n]), terms
+        )[:n]
+        return (np.asarray(scores) if materialize else scores), terms
 
     # -- reference-parity impact API -------------------------------------------
     @staticmethod

@@ -79,11 +79,25 @@ class WordPieceVocab:
 class WordPieceTokenizer:
     """Greedy longest-match WordPiece over a fixed vocab."""
 
+    # cache cap: corpora are Zipf, so a word cache hits >95% — this is the
+    # indexing pipeline's host-side hot loop (1 CPU core feeds the chip)
+    _CACHE_MAX = 1 << 20
+
     def __init__(self, vocab: WordPieceVocab, max_chars_per_word: int = 100):
         self.vocab = vocab
         self.max_chars_per_word = max_chars_per_word
+        self._cache: Dict[str, List[int]] = {}
 
     def tokenize_word(self, word: str) -> List[int]:
+        cached = self._cache.get(word)
+        if cached is not None:
+            return cached
+        ids = self._tokenize_word_uncached(word)
+        if len(self._cache) < self._CACHE_MAX:
+            self._cache[word] = ids
+        return ids
+
+    def _tokenize_word_uncached(self, word: str) -> List[int]:
         if len(word) > self.max_chars_per_word:
             return [self.vocab.unk_id]
         ids: List[int] = []

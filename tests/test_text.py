@@ -91,3 +91,55 @@ def test_batching_fixed_shapes(tiny_tokenizer):
     for i in range(2):
         for j, t in enumerate(terms[i]):
             assert encs[i].term_to_token_index[t] == slots[i, j]
+
+
+def test_normalize_pretokenize_ascii_fast_path_equivalence():
+    """The ASCII fast paths (translate/regex) must match the general
+    per-character path exactly."""
+    import random
+    import string as _string
+
+    from improving_learned_index_tpu.text.normalize import (
+        _is_control,
+        _is_punct_char,
+        normalize,
+        pretokenize,
+    )
+
+    def slow_normalize(text, lowercase=True):
+        out = []
+        for ch in text:
+            cp = ord(ch)
+            if cp == 0 or cp == 0xFFFD or _is_control(ch):
+                continue
+            out.append(" " if ch.isspace() else ch)
+        text = "".join(out)
+        return text.lower() if lowercase else text
+
+    def slow_pretokenize(text):
+        terms, buf = [], []
+        for ch in text:
+            if ch.isspace():
+                if buf:
+                    terms.append("".join(buf)); buf = []
+            elif _is_punct_char(ch):
+                if buf:
+                    terms.append("".join(buf)); buf = []
+                terms.append(ch)
+            else:
+                buf.append(ch)
+        if buf:
+            terms.append("".join(buf))
+        return terms
+
+    rng = random.Random(0)
+    pool = _string.printable + "\x00\x01\x0b\x0c\x7f"
+    for _ in range(200):
+        s = "".join(rng.choice(pool) for _ in range(rng.randrange(0, 80)))
+        assert s.isascii()
+        n_fast = normalize(s)
+        n_slow = slow_normalize(s)
+        assert n_fast == n_slow, (s.encode(), n_fast, n_slow)
+        assert pretokenize(n_fast) == slow_pretokenize(n_slow)
+    # non-ASCII takes the general path (accent stripping intact)
+    assert pretokenize(normalize("Café—überall!")) == ["cafe", "—", "uberall", "!"]
