@@ -46,6 +46,12 @@ QUERY_TERMS = 8
 ITERS = 6
 
 
+def configure(num_docs, num_postings, nq):
+    """Override the workload (e.g. MSMARCO scale: 8.8M docs)."""
+    global NUM_DOCS, NUM_POSTINGS, NQ
+    NUM_DOCS, NUM_POSTINGS, NQ = num_docs, num_postings, nq
+
+
 def build_index(tmp: Path):
     """Zipf postings over a 1M-doc corpus, direct CSR construction."""
     from improving_learned_index_tpu.index.inverted import InvertedIndexData
@@ -115,7 +121,11 @@ def main():
     ap.add_argument("--engines", default="hybrid,hybrid_approx,native")
     ap.add_argument("--workdir", type=Path, default=Path("/tmp/query_bench"))
     ap.add_argument("--out", type=Path, default=None)
+    ap.add_argument("--num_docs", type=int, default=NUM_DOCS)
+    ap.add_argument("--num_postings", type=int, default=NUM_POSTINGS)
+    ap.add_argument("--nq", type=int, default=NQ)
     args = ap.parse_args()
+    configure(args.num_docs, args.num_postings, args.nq)
     engines = args.engines.split(",")
 
     index, queries = build_index(args.workdir)
