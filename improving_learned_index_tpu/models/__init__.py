@@ -15,6 +15,7 @@ from .factory import (
     deep_pairwise_impact,
 )
 from .pairwise import DeepPairwiseImpact
+from .quantization import dequantize_params, quantize_params_int8
 
 __all__ = [
     "DeepImpact",
@@ -31,4 +32,6 @@ __all__ = [
     "deep_impact_phobert",
     "deep_impact_xlmr",
     "deep_pairwise_impact",
+    "quantize_params_int8",
+    "dequantize_params",
 ]

@@ -1,3 +1,4 @@
+from .exact_topk import exact_topk_integer
 from .quantize import (
     global_max,
     quantize_array,
@@ -7,6 +8,7 @@ from .quantize import (
 )
 
 __all__ = [
+    "exact_topk_integer",
     "global_max",
     "quantize_array",
     "quantize_device",
