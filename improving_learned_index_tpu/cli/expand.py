@@ -34,6 +34,9 @@ def main(argv=None) -> int:
                         "residency/bandwidth so 7B fits a 16GB chip (the TPU "
                         "counterpart of the reference's NF4 4-bit load, "
                         "src/llama2/generate.py:37-45)")
+    parser.add_argument("--int4", action="store_true",
+                        help="packed 4-bit weight-only decode (the closest "
+                        "analog of the reference's NF4; coarser than --int8)")
     parser.add_argument("--tiny", action="store_true", help="tiny random model (smoke)")
     parser.add_argument("--t5", type=str, default=None, metavar="MODEL",
                         help="use a T5/mT5 checkpoint (e.g. an mT5 doc2query "
@@ -109,12 +112,13 @@ def main(argv=None) -> int:
             )
             params = merge_lora(params, lora, lcfg)
 
-    if args.int8:
+    if args.int8 or args.int4:
         import jax as _jax
 
-        from ..models.quantization import quantize_params_int8
+        from ..models.quantization import quantize_params_int4, quantize_params_int8
 
-        params = quantize_params_int8(_jax.device_get(params))
+        quant = quantize_params_int4 if args.int4 else quantize_params_int8
+        params = quant(_jax.device_get(params))
 
     generator = QueryGenerator(
         params,
@@ -175,10 +179,10 @@ def _t5_main(args) -> int:
         params = hf_t5_to_flax(
             T5ForConditionalGeneration.from_pretrained(args.t5).state_dict(), config
         )
-    if args.int8:
-        from ..models.quantization import quantize_params_int8
+    if args.int8 or args.int4:
+        from ..models.quantization import quantize_params_int4, quantize_params_int8
 
-        params = quantize_params_int8(params)
+        params = (quantize_params_int4 if args.int4 else quantize_params_int8)(params)
     hf_tok = AutoTokenizer.from_pretrained(args.t5)
 
     class HFTok:

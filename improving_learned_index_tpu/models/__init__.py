@@ -15,7 +15,7 @@ from .factory import (
     deep_pairwise_impact,
 )
 from .pairwise import DeepPairwiseImpact
-from .quantization import dequantize_params, quantize_params_int8
+from .quantization import dequantize_params, quantize_params_int4, quantize_params_int8
 
 __all__ = [
     "DeepImpact",
@@ -33,5 +33,6 @@ __all__ = [
     "deep_impact_xlmr",
     "deep_pairwise_impact",
     "quantize_params_int8",
+    "quantize_params_int4",
     "dequantize_params",
 ]

@@ -90,3 +90,30 @@ def test_random_quantized_builder_shapes():
     logits, _ = model.apply({"params": dq}, ids, jnp.ones_like(ids))
     assert logits.shape == (1, 4, config.vocab_size)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_int4_roundtrip_and_decode():
+    """Packed int4 weights: roundtrip error bound, mixed-tree dequant, and a
+    Sampler decode (the reference's NF4 4-bit equivalent)."""
+    from improving_learned_index_tpu.models.quantization import (
+        quantize_params_int4,
+    )
+
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((64, 32)).astype(np.float32)
+    q = quantize_params_int4({"layer": {"kernel": w}})
+    assert set(q["layer"]["kernel"].keys()) == {"q4", "s"}
+    assert q["layer"]["kernel"]["q4"].shape == (32, 32)  # packed pairs
+    dq = np.asarray(dequantize_params(q, dtype=jnp.float32)["layer"]["kernel"])
+    amax = np.abs(w).max(axis=0, keepdims=True)
+    assert dq.shape == w.shape
+    assert np.all(np.abs(w - dq) <= amax / 14 + 1e-6)  # half-step of amax/7
+
+    config = LlamaConfig.tiny()
+    params = init_llama_params(config, jax.random.PRNGKey(0))
+    q4 = quantize_params_int4(jax.device_get(params))
+    gen = GenerationConfig(max_new_tokens=4, num_return_sequences=2, top_k=10)
+    sampler = Sampler(config, gen, eos_token_id=2)
+    ids = np.asarray([[0, 5, 9, 11]], dtype=np.int32)
+    out = sampler.generate(q4, ids, (ids != 0).astype(np.int32), num_return_sequences=2, seed=0)
+    assert out.shape == (2, 4)
