@@ -43,6 +43,13 @@ def main(argv=None) -> int:
                         help="QLoRA mode: frozen base kept int8 in HBM, "
                         "dequantized inside the jitted step (the reference's "
                         "NF4 4-bit base, finetune.py:103-108/finetune_4bit.py)")
+    parser.add_argument("--quantize_base", choices=["none", "int8", "int4"], default=None,
+                        help="frozen-base precision in HBM; int4 = packed "
+                        "nibbles, the density of the reference's NF4")
+    parser.add_argument("--variant", choices=["default", "trl_4bit"], default="default",
+                        help="trl_4bit = the reference's finetune_4bit.py "
+                        "recipe: int4 base, LoRA r=64 alpha=16, clip 0.3, "
+                        "weight decay 0.001 (finetune_4bit.py:22-41)")
     args = parser.parse_args(argv)
 
     if args.tiny:
@@ -97,18 +104,32 @@ def main(argv=None) -> int:
         tokenizer = HFTok()
         eos_id, pad_id = hf_tok.eos_token_id, 0
 
-    ft = Doc2QueryFineTuner(
-        params,
-        config,
-        tokenizer,
-        lora_config=LoraConfig(r=args.lora_r, alpha=args.lora_alpha),
-        lr=args.lr,
+    quantize_base = args.quantize_base
+    if quantize_base == "none":
+        quantize_base = None
+    elif quantize_base is None and args.int8_base:
+        quantize_base = "int8"
+    common = dict(
         prompt_template=PROMPT_VI if args.prompt == "vi" else PROMPT_EN,
         max_length=args.max_length,
         eos_token_id=eos_id,
         pad_token_id=pad_id,
-        quantize_base_int8=args.int8_base,
     )
+    if args.variant == "trl_4bit":
+        overrides = dict(common)
+        if quantize_base is not None:
+            overrides["quantize_base"] = quantize_base
+        ft = Doc2QueryFineTuner.trl_4bit(params, config, tokenizer, **overrides)
+    else:
+        ft = Doc2QueryFineTuner(
+            params,
+            config,
+            tokenizer,
+            lora_config=LoraConfig(r=args.lora_r, alpha=args.lora_alpha),
+            lr=args.lr,
+            quantize_base=quantize_base,
+            **common,
+        )
     from ..core.profiling import trace
 
     with trace(args.output_adapter.parent / "profile", enabled=args.enable_profiler):

@@ -79,7 +79,15 @@ def causal_lm_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
 
 
 class Doc2QueryFineTuner:
-    """LoRA fine-tuning loop over (document, query) pairs."""
+    """LoRA fine-tuning loop over (document, query) pairs.
+
+    ``quantize_base``: ``None`` keeps the frozen base in its fp dtype;
+    ``"int8"`` / ``"int4"`` store it quantized in HBM (per-channel symmetric;
+    int4 packs two nibbles per byte) and dequantize inside the jitted step —
+    the TPU counterpart of the reference's NF4 4-bit QLoRA base
+    (finetune.py:103-108, finetune_4bit.py:53-59).  Adapters stay fp32 and
+    are the only gradient path either way.
+    """
 
     def __init__(
         self,
@@ -94,6 +102,9 @@ class Doc2QueryFineTuner:
         pad_token_id: int = 0,
         seed: int = 0,
         quantize_base_int8: bool = False,
+        quantize_base: Optional[str] = None,
+        max_grad_norm: Optional[float] = None,
+        weight_decay: float = 0.0,
     ):
         self.base_params = params
         self.config = config
@@ -105,15 +116,20 @@ class Doc2QueryFineTuner:
         self.pad_token_id = pad_token_id
         self.module = LlamaModel(config)
         self.lora = init_lora_params(params, lora_config, jax.random.PRNGKey(seed))
-        if quantize_base_int8:
-            # QLoRA mode proper: the frozen base lives in HBM as int8 (the
-            # reference's NF4 4-bit base, finetune.py:103-108 /
-            # finetune_4bit.py) and dequantizes inside the jitted step;
-            # adapters stay fp32 and are the only gradient path.
-            from ..models.quantization import quantize_params_int8
+        if quantize_base_int8 and quantize_base is None:
+            quantize_base = "int8"
+        if quantize_base is not None:
+            from ..models import quantization as qz
 
-            self.base_params = quantize_params_int8(jax.device_get(params))
-        self.tx = optax.adamw(lr)
+            quantizers = {"int8": qz.quantize_params_int8, "int4": qz.quantize_params_int4}
+            if quantize_base not in quantizers:
+                raise ValueError(f"quantize_base must be int8/int4/None, got {quantize_base!r}")
+            self.base_params = quantizers[quantize_base](jax.device_get(params))
+        self.quantize_base = quantize_base
+        chain = [optax.adamw(lr, weight_decay=weight_decay)]
+        if max_grad_norm is not None:
+            chain.insert(0, optax.clip_by_global_norm(max_grad_norm))
+        self.tx = optax.chain(*chain)
         self.opt_state = self.tx.init(self.lora)
 
         module, lcfg = self.module, lora_config
@@ -185,3 +201,19 @@ class Doc2QueryFineTuner:
         from ..core.checkpoint import save_params
 
         save_params(path, self.lora)
+
+    @classmethod
+    def trl_4bit(cls, params, config: LlamaConfig, tokenizer, **overrides):
+        """The reference's ``finetune_4bit.py`` (TRL SFTTrainer) variant:
+        4-bit frozen base, LoRA r=64 alpha=16, lr 2e-4, clip 0.3, weight
+        decay 0.001 (finetune_4bit.py:22-41).  TPU-native: packed-int4 base
+        dequantized inside the jitted step instead of bitsandbytes NF4."""
+        kwargs = dict(
+            lora_config=LoraConfig(r=64, alpha=16),
+            lr=2e-4,
+            quantize_base="int4",
+            max_grad_norm=0.3,
+            weight_decay=0.001,
+        )
+        kwargs.update(overrides)
+        return cls(params, config, tokenizer, **kwargs)

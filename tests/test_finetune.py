@@ -121,3 +121,38 @@ def test_finetune_int8_base_qlora(tmp_path):
     # merged params dequantize + fold adapters: usable by the model
     merged = ft.merged_params()
     assert merged["layer_0"]["mlp"]["gate_proj"]["kernel"].ndim == 2
+
+
+def test_finetune_int4_base_trl_variant():
+    """The reference finetune_4bit.py recipe (finetune_4bit.py:22-41): packed
+    int4 frozen base + LoRA r=64 alpha=16 — a step runs, adapters train,
+    merge round-trips through dequantization."""
+    import dataclasses
+
+    cfg = dataclasses.replace(LlamaConfig.tiny(), dtype="float32")
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    ft = Doc2QueryFineTuner.trl_4bit(
+        params, cfg, ByteTok(), max_length=64,
+        lora_config=__import__(
+            "improving_learned_index_tpu.expand.lora", fromlist=["LoraConfig"]
+        ).LoraConfig(r=8, alpha=16),  # tiny geometry can't host r=64
+    )
+    assert ft.quantize_base == "int4"
+    qleaf = ft.base_params["layer_0"]["mlp"]["gate_proj"]["kernel"]
+    assert set(qleaf.keys()) == {"q4", "s"}
+    # packed: half the rows of the fp kernel along the contracted axis
+    fp = np.asarray(params["layer_0"]["mlp"]["gate_proj"]["kernel"])
+    assert qleaf["q4"].shape == ((fp.shape[0] + 1) // 2, fp.shape[1])
+
+    pairs = [("a document about foxes", "what do foxes eat"),
+             ("docs about inverted indexes", "how are indexes built")] * 4
+    lora_before = jax.tree_util.tree_map(np.asarray, ft.lora)
+    avg = ft.train(iter(pairs), batch_size=2)
+    assert np.isfinite(avg)
+    assert any(
+        not np.array_equal(a, np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(lora_before), jax.tree_util.tree_leaves(ft.lora))
+    )
+    merged = ft.merged_params()
+    k = merged["layer_0"]["mlp"]["gate_proj"]["kernel"]
+    assert k.ndim == 2 and np.isfinite(np.asarray(k)).all()
