@@ -124,6 +124,7 @@ def main():
     ap.add_argument("--num_docs", type=int, default=NUM_DOCS)
     ap.add_argument("--num_postings", type=int, default=NUM_POSTINGS)
     ap.add_argument("--nq", type=int, default=NQ)
+    ap.add_argument("--dense_budget_gb", type=float, default=4.0)
     args = ap.parse_args()
     configure(args.num_docs, args.num_postings, args.nq)
     engines = args.engines.split(",")
@@ -150,7 +151,10 @@ def main():
 
             cfg = SearchConfig(approx_top_k=(name == "hybrid_approx"))
             t0 = time.time()
-            eng = HybridSearchEngine(index, config=cfg, heavy_min=1024)
+            eng = HybridSearchEngine(
+                index, config=cfg, heavy_min=1024,
+                dense_budget_bytes=int(args.dense_budget_gb * (1 << 30)),
+            )
             print(
                 f"{name}: init {time.time()-t0:.1f}s, {eng.t_heavy} dense rows",
                 file=sys.stderr,

@@ -23,6 +23,10 @@ def main(argv=None) -> int:
     parser.add_argument("--top_k", type=int, default=1000)
     parser.add_argument("--approx_top_k", action="store_true",
                         help="hardware-friendly approximate top-k (device engine)")
+    parser.add_argument("--dense_budget_gb", type=float, default=4.0,
+                        help="hybrid engine: HBM budget for dense heavy-term "
+                        "rows; more rows shrink the serialized tail scatter "
+                        "(8.8M docs: 4GB->174 q/s, 6GB->222 q/s on v5e-1)")
     args = parser.parse_args(argv)
 
     ranker = Ranker(
@@ -36,6 +40,7 @@ def main(argv=None) -> int:
         engine=args.engine,
         top_k=args.top_k,
         approx_top_k=args.approx_top_k,
+        dense_budget_bytes=int(args.dense_budget_gb * (1 << 30)),
     )
     n = ranker.run()
     print(f"ranked {n} queries -> {args.output_path}")

@@ -37,6 +37,7 @@ class Ranker:
         batch_size: int = 256,
         top_k: int = 1000,
         approx_top_k: bool = False,
+        dense_budget_bytes: int = 4 << 30,
     ):
         self.queries = Queries(queries_path, dataset_type=dataset_type)
         self.query_ids = list(self.queries.keys())
@@ -66,7 +67,8 @@ class Ranker:
                 from ..search.hybrid_engine import HybridSearchEngine
 
                 self.engine = HybridSearchEngine(
-                    index, SearchConfig(approx_top_k=approx_top_k)
+                    index, SearchConfig(approx_top_k=approx_top_k),
+                    dense_budget_bytes=dense_budget_bytes,
                 )
             elif engine == "host":
                 self.engine = InvertedIndex(index)

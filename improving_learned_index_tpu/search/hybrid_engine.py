@@ -22,10 +22,10 @@ Redesign, in MXU/bandwidth terms:
   are heavy, but they own most postings.
 - **Tail terms keep the gather + scatter-add path.**  The scatter only sees
   the short lists, so its serialized cost drops by the heavy coverage ratio.
-- **Exact top-k without sorting** via ops.exact_topk (threshold binary
-  search + cumsum + searchsorted): integer impact sums make the k-th score
-  findable in ~18 bandwidth passes; boundary ties resolve in doc-id order
-  like the reference's heapq over insertion-ordered dicts.
+- **Exact top-k without sorting** via ops.exact_topk (16-ary threshold
+  search + block-level rank tables): integer impact sums make the k-th
+  score findable in a few bandwidth passes; boundary ties resolve in
+  doc-id order like the reference's heapq over insertion-ordered dicts.
 
 The public contract matches the other engines: ``score_batch(term_sets, k)``
 -> per query, a list of (doc_id, score) with score > 0, exact scores, exact
@@ -134,37 +134,129 @@ class HybridSearchEngine:
 
         doc_ids = np.asarray(index.doc_ids, dtype=np.int64)
         impacts = np.asarray(index.impacts, dtype=np.float32)
-
-        if self.t_heavy:
-            dense = np.zeros((self.t_heavy, self.n_pad), dtype=np.float32)
-            row_of = np.repeat(
-                np.arange(self.t_heavy), lengths[heavy_tids]
-            )
-            flat_idx = np.concatenate(
-                [np.arange(self.offsets[t], self.offsets[t + 1]) for t in heavy_tids]
-            ) if len(heavy_tids) else np.empty(0, np.int64)
-            # add (not assign): duplicate (term, doc) postings, while not
-            # produced by our indexer, must accumulate exactly like the
-            # scatter/host paths do.
-            np.add.at(dense, (row_of, doc_ids[flat_idx]), impacts[flat_idx])
-            # bf16 represents integers <= 256 exactly — enough for 8-bit
-            # quantized impacts.  If accumulation pushed any cell past that
-            # (duplicate postings), keep fp32 rows: 2x bytes, still exact.
-            dtype = jnp.bfloat16 if dense.max() <= 256 else jnp.float32
-            self.dense = jax.device_put(dense.astype(dtype))
-        else:
-            self.dense = jax.device_put(np.zeros((1, self.n_pad), dtype=jnp.bfloat16))
-
-        # Tail postings stay in CSR form for the gather + scatter path.
+        n_postings = len(doc_ids)
         is_heavy = np.zeros(len(lengths), dtype=bool)
         is_heavy[heavy_tids] = True
-        self.tail_offsets = self.offsets
         self.is_heavy = is_heavy
-        has = len(doc_ids) > 0
+
+        # Permute postings heavy-first (in dense-row order) so the device-side
+        # dense build reads contiguous slices of the SAME posting arrays the
+        # tail path needs anyway.  Uploading a pre-built dense matrix instead
+        # costs dense_budget_bytes of host->device transfer (~7 min for 4.3GB
+        # through the axon relay); this way the only bulk upload is the
+        # ~9B/posting CSR arrays.
+        heavy_lengths = lengths[heavy_tids]
+        if self.t_heavy:
+            heavy_idx = np.concatenate(
+                [np.arange(self.offsets[t], self.offsets[t + 1]) for t in heavy_tids]
+            )
+            tail_mask = np.ones(n_postings, dtype=bool)
+            tail_mask[heavy_idx] = False
+            perm = np.concatenate([heavy_idx, np.nonzero(tail_mask)[0]])
+        else:
+            perm = np.arange(n_postings)
+        doc_ids = doc_ids[perm]
+        impacts = impacts[perm]
+
+        # Per-term (start, length) in the permuted layout.
+        heavy_starts = np.concatenate([[0], np.cumsum(heavy_lengths)]).astype(np.int64)
+        p_heavy = int(heavy_starts[-1])
+        heavy_before = np.zeros(len(lengths) + 1, dtype=np.int64)
+        heavy_before[1:][heavy_tids] = heavy_lengths
+        heavy_before = np.cumsum(heavy_before)  # heavy postings among terms < t
+        self.term_start = p_heavy + self.offsets[:-1] - heavy_before[:-1]
+        self.term_start[heavy_tids] = heavy_starts[:-1]
+        self.term_len = lengths
+
+        has = n_postings > 0
         self.doc_ids = jax.device_put(
             doc_ids.astype(np.int32) if has else np.zeros(1, np.int32)
         )
         self.impacts = jax.device_put(impacts if has else np.zeros(1, np.float32))
+
+        if self.t_heavy:
+            self.dense = self._build_dense_on_device(heavy_starts)
+        else:
+            self.dense = jax.device_put(np.zeros((1, self.n_pad), dtype=jnp.bfloat16))
+
+    _DENSE_CHUNK_ROWS = 64  # fp32 scatter buffer: 64 rows x n_pad (2.25GB at 8.8M docs)
+
+    def _build_dense_on_device(self, heavy_starts: np.ndarray):
+        """Scatter-accumulate the heavy rows [T_h, n_pad] on device from the
+        (already device-resident) permuted posting arrays.
+
+        fp32 accumulation in row chunks reproduces the host np.add.at exactly
+        (duplicate (term, doc) postings must sum like the scatter/host
+        paths); rows downcast to bf16 only when every cell <= 256, where bf16
+        is exact for 8-bit quantized impact sums."""
+        p_heavy = int(heavy_starts[-1])
+        # Row of each heavy posting, computed on device from the tiny row
+        # starts table (an uploaded [P_heavy] row-id array would be ~150MB).
+        bounds = jnp.asarray(heavy_starts[1:])
+        row_of = jnp.searchsorted(bounds, jnp.arange(p_heavy), side="right").astype(
+            jnp.int32
+        )
+
+        ch = min(self._DENSE_CHUNK_ROWS, self.t_heavy)
+        chunk_lens = [
+            int(heavy_starts[min(r0 + ch, self.t_heavy)] - heavy_starts[r0])
+            for r0 in range(0, self.t_heavy, ch)
+        ]
+        # One static posting-slice width for every chunk: the whole build is
+        # ONE compiled program called per chunk with device scalars (each
+        # distinct shape costs a fresh XLA compile — ~30s+ through the relay).
+        width = _bucket(max(max(chunk_lens), 1))
+        pad = jnp.zeros(width, jnp.int32)
+        rows_p = jnp.concatenate([row_of, pad])
+        docs_p = jnp.concatenate([self.doc_ids[:p_heavy], pad])
+        vals_p = jnp.concatenate([self.impacts[:p_heavy], pad.astype(jnp.float32)])
+
+        @partial(jax.jit, static_argnums=(6,))
+        def scatter_chunk(rows_p, docs_p, vals_p, s0, n_valid, r0, dtype):
+            rows = jax.lax.dynamic_slice(rows_p, (s0,), (width,))
+            docs = jax.lax.dynamic_slice(docs_p, (s0,), (width,))
+            vals = jax.lax.dynamic_slice(vals_p, (s0,), (width,))
+            valid = jnp.arange(width) < n_valid
+            vals = jnp.where(valid, vals, 0.0)
+            rows = jnp.where(valid, rows - r0, 0)  # padding lands at [0, 0] += 0
+            docs = jnp.where(valid, docs, 0)
+            acc = jnp.zeros((ch, self.n_pad), jnp.float32)
+            acc = acc.at[rows, docs].add(vals)
+            # cast INSIDE the jit: the fp32 accumulator stays a transient
+            # (holding all fp32 chunks host-side OOMed a 16GB chip at 8.8M docs)
+            return acc.astype(dtype), jnp.max(acc)
+
+        # Donated placement: the dense buffer is updated in place, so peak
+        # memory is dense + ONE chunk (a final concatenate would double the
+        # dense bytes and OOM large budgets).
+        @partial(jax.jit, donate_argnums=(0,))
+        def place(dense, chunk, r0):
+            return jax.lax.dynamic_update_slice(dense, chunk, (r0, 0))
+
+        def build(dtype):
+            dense = jnp.zeros((self.t_heavy, self.n_pad), dtype)
+            maxes = []
+            for i, r0 in enumerate(range(0, self.t_heavy, ch)):
+                r1 = min(r0 + ch, self.t_heavy)
+                s0 = int(heavy_starts[r0])
+                acc, mx = scatter_chunk(
+                    rows_p, docs_p, vals_p,
+                    jnp.int32(s0), jnp.int32(chunk_lens[i]), jnp.int32(r0), dtype,
+                )
+                dense = place(dense, acc if r1 - r0 == ch else acc[: r1 - r0],
+                              jnp.int32(r0))
+                maxes.append(mx)
+            return dense, max(float(m) for m in maxes)
+
+        # bf16 represents integers <= 256 exactly — enough for 8-bit
+        # quantized impacts.  If accumulation pushed any cell past that
+        # (duplicate postings), rebuild in fp32: 2x bytes, still exact.
+        dense, mx = build(jnp.bfloat16)
+        if mx > 256:
+            del dense
+            dense, _ = build(jnp.float32)
+        dense.block_until_ready()
+        return dense
 
     def _tables(self, query_term_sets: Sequence[Set[str]]):
         """Host-side prep: heavy one-hot W + tail chunk table."""
@@ -182,7 +274,8 @@ class HybridSearchEngine:
                 if row is not None:
                     w[q, row] = 1.0
                     continue
-                s, e = int(self.offsets[tid]), int(self.offsets[tid + 1])
+                s = int(self.term_start[tid])
+                e = s + int(self.term_len[tid])
                 while s < e:
                     starts.append(s)
                     lengths.append(min(TAIL_CHUNK, e - s))

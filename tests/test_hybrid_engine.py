@@ -129,6 +129,23 @@ def test_hybrid_duplicate_postings_accumulate():
     assert dict(hybrid.score_batch(q, 2)[0]) == dict(host.score_batch(q, 2)[0]) == {0: 11.0, 1: 3.0}
 
 
+def test_hybrid_duplicate_postings_past_bf16_range():
+    """If accumulated impacts exceed 256 (not exact in bf16), the on-device
+    dense build must fall back to fp32 rows and stay exact."""
+    from improving_learned_index_tpu.index.inverted import InvertedIndexData
+
+    vocab = ["a"]
+    offsets = np.array([0, 3], dtype=np.int64)
+    doc_ids = np.array([0, 0, 1], dtype=np.uint32)  # doc0 twice: 200+200=400
+    impacts = np.array([200, 200, 3], dtype=np.uint8)
+    index = InvertedIndexData(vocab, offsets, doc_ids, impacts, num_docs=2)
+    hybrid = HybridSearchEngine(index, heavy_min=1)
+    import jax.numpy as jnp
+
+    assert hybrid.dense.dtype == jnp.float32
+    assert dict(hybrid.score_batch([{"a"}], 2)[0]) == {0: 400.0, 1: 3.0}
+
+
 def test_hybrid_stream_pipelined():
     rng = np.random.default_rng(9)
     index = _random_index(rng, num_docs=300, vocab_size=30, postings=3000)
