@@ -7,12 +7,12 @@ of 8-bit quantized impacts, i.e. exact small integers — which admits an
 exact selection in a few bandwidth passes:
 
 1. per row, find the k-th score value ``s_k`` (the largest s with
-   |{score >= s}| >= k) by **16-ary search** over the integer range
-   [1, row_max]: each pass counts 15 thresholds at once (XLA fuses the
-   [Q, N, 15] broadcast-compare into the reduction, so one pass still reads
-   the row once) and a ``while_loop`` stops when every row has converged —
-   for realistic impact sums (row max ~2k) that is 3 passes, where a fixed
-   bit-by-bit binary search burned 18;
+   |{score >= s}| >= k) by **n-ary search** (``_ARITY`` thresholds counted
+   per pass; XLA fuses the broadcast-compare into the reduction, so one
+   pass still reads the row once) under a ``while_loop`` that stops when
+   every row has converged — for realistic impact sums (row max ~2k) that
+   is ~4 passes at arity 8, where a fixed bit-by-bit binary search burned
+   18;
 2. the selected set is: every doc with score > s_k (provably fewer than k),
    plus the first (k - m) docs with score == s_k in doc-id order (the
    reference heapq.nlargest also picks an arbitrary subset of boundary ties,
@@ -46,7 +46,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-_ARITY = 16  # thresholds probed per search pass (15 compares/element/pass)
+_ARITY = 8  # thresholds probed per search pass.  Swept on v5e-1 at
+# [32, 8.8M] k=1000: arity 16 = 110.7ms, 8 = 96.0ms, 4 = 96.7ms, 2 =
+# 107.5ms end to end — 7 compares/element balances VPU work per pass
+# against pass count (log_8 of the score range ~= 4 passes).
 
 _BLOCK = 256  # selection block width: granularity of the rank-j gather
 

@@ -55,6 +55,68 @@ def _bucket(n: int, base: int = 16) -> int:
     return b
 
 
+_SCATTER_TILE = 1 << 16  # docs per tile: a [Q, TILE] fp32 window is VMEM-resident
+_SCATTER_WIN = 4096      # updates applied per on-tile pass
+
+
+def _apply_tail_tiled(scores, d, v, r, valid):
+    """Scatter-add tail updates via doc-sorted, VMEM-tile-resident passes.
+
+    XLA lowers a scatter-add into a [Q, num_docs] operand to serialized
+    per-update RMW against HBM (measured ~88ms for 262k updates at 8.8M
+    docs, vs near-zero for the same updates into a [Q, 65536] operand that
+    stays on-chip).  So: sort updates by doc (carrying value + query row),
+    find each 64k-doc tile's update range with one searchsorted over the
+    sorted docs, then per tile dynamic-slice the [Q, TILE] window, apply its
+    updates on-chip in ceil(count/WIN) masked windows (a while_loop, so
+    skewed tiles stay exact), and write the tile back.  Total cost: one
+    device sort of E entries + one read+write sweep of the scores array —
+    ~6x cheaper than the flat scatter at MSMARCO scale.
+    """
+    q, n_pad = scores.shape
+    e = d.shape[0]
+    n_tiles = n_pad // _SCATTER_TILE
+    # spread padding entries (value 0) pseudo-uniformly so no tile absorbs
+    # them all — a zero add at any in-range position is harmless
+    pad_docs = (jnp.arange(e, dtype=jnp.int32) * 97) % n_pad
+    d = jnp.where(valid, d, pad_docs)
+    sd, sv, sr = jax.lax.sort((d, v, r), num_keys=1)
+    tile_bounds = jnp.searchsorted(
+        sd, jnp.arange(n_tiles + 1, dtype=jnp.int32) * _SCATTER_TILE
+    ).astype(jnp.int32)
+    # pad the sorted arrays so the windowed dynamic_slice never clamps
+    zpad = jnp.zeros(_SCATTER_WIN, jnp.int32)
+    sd = jnp.concatenate([sd, zpad])
+    sr = jnp.concatenate([sr, zpad])
+    sv = jnp.concatenate([sv, zpad.astype(sv.dtype)])
+
+    def tile_body(t, scores):
+        lo = tile_bounds[t]
+        hi = tile_bounds[t + 1]
+        tile = jax.lax.dynamic_slice(scores, (0, t * _SCATTER_TILE), (q, _SCATTER_TILE))
+
+        def win_cond(state):
+            j, _ = state
+            return lo + j * _SCATTER_WIN < hi
+
+        def win_body(state):
+            j, tile = state
+            s0 = lo + j * _SCATTER_WIN
+            dd = jax.lax.dynamic_slice(sd, (s0,), (_SCATTER_WIN,))
+            vv = jax.lax.dynamic_slice(sv, (s0,), (_SCATTER_WIN,))
+            rr = jax.lax.dynamic_slice(sr, (s0,), (_SCATTER_WIN,))
+            ok = s0 + jnp.arange(_SCATTER_WIN, dtype=jnp.int32) < hi
+            dd = jnp.where(ok, dd - t * _SCATTER_TILE, 0)
+            rr = jnp.where(ok, rr, 0)
+            vv = jnp.where(ok, vv, 0.0)
+            return j + 1, tile.at[rr, dd].add(vv)
+
+        _, tile = jax.lax.while_loop(win_cond, win_body, (jnp.int32(0), tile))
+        return jax.lax.dynamic_update_slice(scores, tile, (0, t * _SCATTER_TILE))
+
+    return jax.lax.fori_loop(0, n_tiles, tile_body, scores)
+
+
 @partial(jax.jit, static_argnums=(7, 8, 9, 10, 11))
 def _score_and_topk(
     dense: jnp.ndarray,      # [T_h, N_pad] bf16 dense heavy rows
@@ -91,7 +153,14 @@ def _score_and_topk(
         v = jnp.take(impacts, pos, axis=0)
         v = jnp.where(valid, v, 0.0)
         r = jnp.broadcast_to(rows[:, None], d.shape)
-        scores = scores.at[r.reshape(-1), d.reshape(-1)].add(v.reshape(-1))
+        if n_pad > _SCATTER_TILE and n_pad % _SCATTER_TILE == 0:
+            scores = _apply_tail_tiled(
+                scores, d.reshape(-1), v.reshape(-1), r.reshape(-1), valid.reshape(-1)
+            )
+        else:
+            # small corpora: the whole scores operand is VMEM-resident, the
+            # flat scatter is already on-chip
+            scores = scores.at[r.reshape(-1), d.reshape(-1)].add(v.reshape(-1))
 
     scores = scores[:, :num_docs]
     k = min(top_k, num_docs)
@@ -118,7 +187,12 @@ class HybridSearchEngine:
         self.config = config
         self.vocab: Dict[str, int] = index.term_to_id
         self.num_docs = max(int(index.num_docs), 1)
-        self.n_pad = ((self.num_docs + 127) // 128) * 128
+        if self.num_docs > _SCATTER_TILE:
+            # tile-aligned so the tail scatter can work on VMEM-resident
+            # [Q, _SCATTER_TILE] windows (see _apply_tail_tiled)
+            self.n_pad = -(-self.num_docs // _SCATTER_TILE) * _SCATTER_TILE
+        else:
+            self.n_pad = ((self.num_docs + 127) // 128) * 128
         self.offsets = np.asarray(index.offsets, dtype=np.int64)
         lengths = np.diff(self.offsets)
 

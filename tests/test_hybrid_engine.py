@@ -129,6 +129,33 @@ def test_hybrid_duplicate_postings_accumulate():
     assert dict(hybrid.score_batch(q, 2)[0]) == dict(host.score_batch(q, 2)[0]) == {0: 11.0, 1: 3.0}
 
 
+def test_hybrid_tiled_tail_scatter_large_corpus():
+    """Corpora past one 64k-doc tile take the doc-sorted tiled tail path
+    (_apply_tail_tiled); results must match the host engine exactly,
+    including docs on both sides of tile boundaries."""
+    from improving_learned_index_tpu.index.inverted import InvertedIndexData
+    from improving_learned_index_tpu.search.hybrid_engine import _SCATTER_TILE
+
+    num_docs = _SCATTER_TILE + 5000  # 2 tiles
+    rng = np.random.default_rng(11)
+    per_doc = {}
+    docs = np.concatenate([
+        rng.integers(0, num_docs, 4000),
+        # force hits at the tile boundary and the last doc
+        np.array([_SCATTER_TILE - 1, _SCATTER_TILE, num_docs - 1]),
+    ])
+    for t, dcc, v in zip(rng.integers(0, 40, len(docs)), docs, rng.integers(1, 256, len(docs))):
+        per_doc.setdefault(int(dcc), {})[f"t{t}"] = int(v)
+    index = InvertedIndexData.build(sorted(per_doc.items()), num_docs=num_docs)
+    host = InvertedIndex(index)
+    # heavy_min large => everything goes through the tail scatter
+    eng = HybridSearchEngine(index, heavy_min=10_000)
+    assert eng.n_pad % _SCATTER_TILE == 0 and eng.n_pad > _SCATTER_TILE
+    queries = [{f"t{i}" for i in range(8)}, {f"t{i}" for i in range(20, 25)}]
+    for a, b in zip(host.score_batch(queries, 50), eng.score_batch(queries, 50)):
+        assert dict(a) == dict(b)
+
+
 def test_hybrid_duplicate_postings_past_bf16_range():
     """If accumulated impacts exceed 256 (not exact in bf16), the on-device
     dense build must fall back to fp32 rows and stay exact."""
