@@ -33,6 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.config import SearchConfig
 from ..index.inverted import InvertedIndexData
 from ..ops.exact_topk import exact_topk_integer
+from .hybrid_engine import _SCATTER_TILE as _TILE, _TILED_MIN_DOCS as _TILED_MIN
 
 TAIL_CHUNK = 512
 
@@ -66,9 +67,16 @@ class ShardedSearchEngine:
             )
         self.vocab: Dict[str, int] = index.term_to_id
         self.num_docs = max(int(index.num_docs), 1)
-        # equal doc ranges, each padded to a lane multiple
+        # equal doc ranges, each padded to a lane multiple — or, past one
+        # scatter tile, to a tile multiple so the local tail scatter can use
+        # the VMEM-tiled path (hybrid_engine._apply_tail_tiled)
+        from .hybrid_engine import _SCATTER_TILE
+
         per = -(-self.num_docs // self.n_shards)
-        self.shard_docs = ((per + 127) // 128) * 128
+        if per > _SCATTER_TILE:
+            self.shard_docs = -(-per // _SCATTER_TILE) * _SCATTER_TILE
+        else:
+            self.shard_docs = ((per + 127) // 128) * 128
         self.doc_lo = np.arange(self.n_shards) * self.shard_docs
 
         offsets = np.asarray(index.offsets, dtype=np.int64)
@@ -170,7 +178,16 @@ class ShardedSearchEngine:
                 v = jnp.take(tail_vals_s[0], pos, axis=0)
                 v = jnp.where(valid, v, 0.0)
                 r = jnp.broadcast_to(rows[:, None], d.shape)
-                scores = scores.at[r.reshape(-1), d.reshape(-1)].add(v.reshape(-1))
+                if shard_docs >= _TILED_MIN and shard_docs % _TILE == 0:
+                    # doc-sorted VMEM-tiled scatter (see hybrid_engine)
+                    from .hybrid_engine import _apply_tail_tiled
+
+                    scores = _apply_tail_tiled(
+                        scores, d.reshape(-1), v.reshape(-1), r.reshape(-1),
+                        valid.reshape(-1),
+                    )
+                else:
+                    scores = scores.at[r.reshape(-1), d.reshape(-1)].add(v.reshape(-1))
                 vals, idx = exact_topk_integer(scores, k_local)
                 gidx = jnp.where(vals > 0, idx + doc_lo_s[0], 0)
                 # gather every shard's candidates onto every device

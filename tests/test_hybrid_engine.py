@@ -129,13 +129,16 @@ def test_hybrid_duplicate_postings_accumulate():
     assert dict(hybrid.score_batch(q, 2)[0]) == dict(host.score_batch(q, 2)[0]) == {0: 11.0, 1: 3.0}
 
 
-def test_hybrid_tiled_tail_scatter_large_corpus():
-    """Corpora past one 64k-doc tile take the doc-sorted tiled tail path
-    (_apply_tail_tiled); results must match the host engine exactly,
-    including docs on both sides of tile boundaries."""
+def test_hybrid_tiled_tail_scatter_large_corpus(monkeypatch):
+    """Corpora past the tiled-scatter threshold take the doc-sorted tiled
+    tail path (_apply_tail_tiled); results must match the host engine
+    exactly, including docs on both sides of tile boundaries.  The 4M-doc
+    production threshold is lowered so the CPU test stays small."""
     from improving_learned_index_tpu.index.inverted import InvertedIndexData
+    from improving_learned_index_tpu.search import hybrid_engine
     from improving_learned_index_tpu.search.hybrid_engine import _SCATTER_TILE
 
+    monkeypatch.setattr(hybrid_engine, "_TILED_MIN_DOCS", _SCATTER_TILE + 1)
     num_docs = _SCATTER_TILE + 5000  # 2 tiles
     rng = np.random.default_rng(11)
     per_doc = {}

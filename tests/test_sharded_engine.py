@@ -82,3 +82,30 @@ def test_sharded_stream_pipelined(mesh):
     for out in outs:
         for a, b in zip(out, sync):
             assert [s for _, s in a] == [s for _, s in b]
+
+
+def test_sharded_tiled_tail_large_shards(mesh, monkeypatch):
+    """Shards past the tiled-scatter threshold take the VMEM-tiled tail
+    path; per-shard results must still merge to exact host agreement.  The
+    4M-doc production threshold is lowered so the CPU test stays small."""
+    from improving_learned_index_tpu.search import hybrid_engine, sharded_engine
+    from improving_learned_index_tpu.search.hybrid_engine import _SCATTER_TILE
+
+    monkeypatch.setattr(hybrid_engine, "_TILED_MIN_DOCS", _SCATTER_TILE + 1)
+    monkeypatch.setattr(sharded_engine, "_TILED_MIN", _SCATTER_TILE + 1)
+    num_docs = 2 * _SCATTER_TILE * 8 + 777  # >1 tile per shard on 8 devices
+    rng = np.random.default_rng(7)
+    per_doc = {}
+    docs = np.concatenate([
+        rng.integers(0, num_docs, 3000),
+        np.array([0, _SCATTER_TILE, num_docs - 1]),  # boundary docs
+    ])
+    for t, d, v in zip(rng.integers(0, 30, len(docs)), docs, rng.integers(1, 256, len(docs))):
+        per_doc.setdefault(int(d), {})[f"t{t}"] = int(v)
+    index = InvertedIndexData.build(sorted(per_doc.items()), num_docs=num_docs)
+    host = InvertedIndex(index)
+    eng = ShardedSearchEngine(index, mesh, heavy_min=10**9)  # all tail
+    assert eng.shard_docs > _SCATTER_TILE and eng.shard_docs % _SCATTER_TILE == 0
+    queries = [{f"t{i}" for i in range(8)}, {f"t{i}" for i in range(10, 14)}]
+    for ours, theirs in zip(eng.score_batch(queries, 60), host.score_batch(queries, 60)):
+        assert dict(ours) == dict(theirs)
