@@ -122,6 +122,100 @@ def _apply_tail_tiled(scores, d, v, r, valid):
     return jax.lax.fori_loop(0, n_tiles, tile_body, scores)
 
 
+def build_dense_rows(
+    doc_ids,
+    impacts,
+    heavy_starts: np.ndarray,
+    t_heavy: int,
+    n_pad: int,
+    chunk_rows: int = 64,
+):
+    """Scatter-accumulate dense heavy rows [t_heavy, n_pad] on the device
+    holding ``doc_ids``/``impacts``.
+
+    ``doc_ids`` (int32) / ``impacts`` (fp32) are device arrays containing
+    exactly the heavy postings in dense-row order; ``heavy_starts`` is the
+    host-side [t_heavy + 1] row-boundary table.  A pre-built host dense
+    matrix would cost its full bytes in host RAM and host->device transfer
+    (multi-GB at corpus scale); this costs one searchsorted + a chunked
+    on-device scatter.
+
+    fp32 accumulation in row chunks reproduces host np.add.at exactly
+    (duplicate (term, doc) postings must sum like the scatter/host paths);
+    rows downcast to bf16 only when every cell <= 256, where bf16 is exact
+    for 8-bit quantized impact sums."""
+    p_heavy = int(heavy_starts[-1])
+    if t_heavy == 0 or p_heavy == 0:
+        return jax.device_put(np.zeros((max(t_heavy, 1), n_pad), dtype=jnp.bfloat16))
+    # Row of each heavy posting, computed on device from the tiny row
+    # starts table (an uploaded [P_heavy] row-id array would be ~150MB).
+    bounds = jnp.asarray(heavy_starts[1:])
+    row_of = jnp.searchsorted(bounds, jnp.arange(p_heavy), side="right").astype(
+        jnp.int32
+    )
+
+    ch = min(chunk_rows, t_heavy)
+    chunk_lens = [
+        int(heavy_starts[min(r0 + ch, t_heavy)] - heavy_starts[r0])
+        for r0 in range(0, t_heavy, ch)
+    ]
+    # One static posting-slice width for every chunk: the whole build is
+    # ONE compiled program called per chunk with device scalars (each
+    # distinct shape costs a fresh XLA compile — ~30s+ through the relay).
+    width = _bucket(max(max(chunk_lens), 1))
+    pad = jnp.zeros(width, jnp.int32)
+    rows_p = jnp.concatenate([row_of, pad])
+    docs_p = jnp.concatenate([doc_ids, pad])
+    vals_p = jnp.concatenate([impacts, pad.astype(jnp.float32)])
+
+    @partial(jax.jit, static_argnums=(6,))
+    def scatter_chunk(rows_p, docs_p, vals_p, s0, n_valid, r0, dtype):
+        rows = jax.lax.dynamic_slice(rows_p, (s0,), (width,))
+        docs = jax.lax.dynamic_slice(docs_p, (s0,), (width,))
+        vals = jax.lax.dynamic_slice(vals_p, (s0,), (width,))
+        valid = jnp.arange(width) < n_valid
+        vals = jnp.where(valid, vals, 0.0)
+        rows = jnp.where(valid, rows - r0, 0)  # padding lands at [0, 0] += 0
+        docs = jnp.where(valid, docs, 0)
+        acc = jnp.zeros((ch, n_pad), jnp.float32)
+        acc = acc.at[rows, docs].add(vals)
+        # cast INSIDE the jit: the fp32 accumulator stays a transient
+        # (holding all fp32 chunks host-side OOMed a 16GB chip at 8.8M docs)
+        return acc.astype(dtype), jnp.max(acc)
+
+    # Donated placement: the dense buffer is updated in place, so peak
+    # memory is dense + ONE chunk (a final concatenate would double the
+    # dense bytes and OOM large budgets).
+    @partial(jax.jit, donate_argnums=(0,))
+    def place(dense, chunk, r0):
+        return jax.lax.dynamic_update_slice(dense, chunk, (r0, 0))
+
+    def build(dtype):
+        dense = jnp.zeros((t_heavy, n_pad), dtype)
+        maxes = []
+        for i, r0 in enumerate(range(0, t_heavy, ch)):
+            r1 = min(r0 + ch, t_heavy)
+            s0 = int(heavy_starts[r0])
+            acc, mx = scatter_chunk(
+                rows_p, docs_p, vals_p,
+                jnp.int32(s0), jnp.int32(chunk_lens[i]), jnp.int32(r0), dtype,
+            )
+            dense = place(dense, acc if r1 - r0 == ch else acc[: r1 - r0],
+                          jnp.int32(r0))
+            maxes.append(mx)
+        return dense, max(float(m) for m in maxes)
+
+    # bf16 represents integers <= 256 exactly — enough for 8-bit
+    # quantized impacts.  If accumulation pushed any cell past that
+    # (duplicate postings), rebuild in fp32: 2x bytes, still exact.
+    dense, mx = build(jnp.bfloat16)
+    if mx > 256:
+        del dense
+        dense, _ = build(jnp.float32)
+    dense.block_until_ready()
+    return dense
+
+
 @partial(jax.jit, static_argnums=(7, 8, 9, 10, 11))
 def _score_and_topk(
     dense: jnp.ndarray,      # [T_h, N_pad] bf16 dense heavy rows
@@ -261,81 +355,15 @@ class HybridSearchEngine:
     _DENSE_CHUNK_ROWS = 64  # fp32 scatter buffer: 64 rows x n_pad (2.25GB at 8.8M docs)
 
     def _build_dense_on_device(self, heavy_starts: np.ndarray):
-        """Scatter-accumulate the heavy rows [T_h, n_pad] on device from the
-        (already device-resident) permuted posting arrays.
-
-        fp32 accumulation in row chunks reproduces the host np.add.at exactly
-        (duplicate (term, doc) postings must sum like the scatter/host
-        paths); rows downcast to bf16 only when every cell <= 256, where bf16
-        is exact for 8-bit quantized impact sums."""
         p_heavy = int(heavy_starts[-1])
-        # Row of each heavy posting, computed on device from the tiny row
-        # starts table (an uploaded [P_heavy] row-id array would be ~150MB).
-        bounds = jnp.asarray(heavy_starts[1:])
-        row_of = jnp.searchsorted(bounds, jnp.arange(p_heavy), side="right").astype(
-            jnp.int32
+        return build_dense_rows(
+            self.doc_ids[:p_heavy],
+            self.impacts[:p_heavy],
+            heavy_starts,
+            self.t_heavy,
+            self.n_pad,
+            chunk_rows=self._DENSE_CHUNK_ROWS,
         )
-
-        ch = min(self._DENSE_CHUNK_ROWS, self.t_heavy)
-        chunk_lens = [
-            int(heavy_starts[min(r0 + ch, self.t_heavy)] - heavy_starts[r0])
-            for r0 in range(0, self.t_heavy, ch)
-        ]
-        # One static posting-slice width for every chunk: the whole build is
-        # ONE compiled program called per chunk with device scalars (each
-        # distinct shape costs a fresh XLA compile — ~30s+ through the relay).
-        width = _bucket(max(max(chunk_lens), 1))
-        pad = jnp.zeros(width, jnp.int32)
-        rows_p = jnp.concatenate([row_of, pad])
-        docs_p = jnp.concatenate([self.doc_ids[:p_heavy], pad])
-        vals_p = jnp.concatenate([self.impacts[:p_heavy], pad.astype(jnp.float32)])
-
-        @partial(jax.jit, static_argnums=(6,))
-        def scatter_chunk(rows_p, docs_p, vals_p, s0, n_valid, r0, dtype):
-            rows = jax.lax.dynamic_slice(rows_p, (s0,), (width,))
-            docs = jax.lax.dynamic_slice(docs_p, (s0,), (width,))
-            vals = jax.lax.dynamic_slice(vals_p, (s0,), (width,))
-            valid = jnp.arange(width) < n_valid
-            vals = jnp.where(valid, vals, 0.0)
-            rows = jnp.where(valid, rows - r0, 0)  # padding lands at [0, 0] += 0
-            docs = jnp.where(valid, docs, 0)
-            acc = jnp.zeros((ch, self.n_pad), jnp.float32)
-            acc = acc.at[rows, docs].add(vals)
-            # cast INSIDE the jit: the fp32 accumulator stays a transient
-            # (holding all fp32 chunks host-side OOMed a 16GB chip at 8.8M docs)
-            return acc.astype(dtype), jnp.max(acc)
-
-        # Donated placement: the dense buffer is updated in place, so peak
-        # memory is dense + ONE chunk (a final concatenate would double the
-        # dense bytes and OOM large budgets).
-        @partial(jax.jit, donate_argnums=(0,))
-        def place(dense, chunk, r0):
-            return jax.lax.dynamic_update_slice(dense, chunk, (r0, 0))
-
-        def build(dtype):
-            dense = jnp.zeros((self.t_heavy, self.n_pad), dtype)
-            maxes = []
-            for i, r0 in enumerate(range(0, self.t_heavy, ch)):
-                r1 = min(r0 + ch, self.t_heavy)
-                s0 = int(heavy_starts[r0])
-                acc, mx = scatter_chunk(
-                    rows_p, docs_p, vals_p,
-                    jnp.int32(s0), jnp.int32(chunk_lens[i]), jnp.int32(r0), dtype,
-                )
-                dense = place(dense, acc if r1 - r0 == ch else acc[: r1 - r0],
-                              jnp.int32(r0))
-                maxes.append(mx)
-            return dense, max(float(m) for m in maxes)
-
-        # bf16 represents integers <= 256 exactly — enough for 8-bit
-        # quantized impacts.  If accumulation pushed any cell past that
-        # (duplicate postings), rebuild in fp32: 2x bytes, still exact.
-        dense, mx = build(jnp.bfloat16)
-        if mx > 256:
-            del dense
-            dense, _ = build(jnp.float32)
-        dense.block_until_ready()
-        return dense
 
     def _tables(self, query_term_sets: Sequence[Set[str]]):
         """Host-side prep: heavy one-hot W + tail chunk table."""

@@ -99,20 +99,40 @@ class ShardedSearchEngine:
         row_of_all = np.zeros(len(lengths), dtype=np.int64)
         row_of_all[heavy_tids] = np.arange(len(heavy_tids))
 
-        # tail CSR per shard: build per-shard (term-sorted) postings
+        # tail CSR per shard: build per-shard (term-sorted) postings.
+        # Dense heavy rows build ON each shard's device from its heavy
+        # postings (hybrid_engine.build_dense_rows) — a host-built dense
+        # matrix would cost t_heavy * shard_docs * 4 bytes of host RAM and
+        # transfer PER SHARD (tens of GB at pod scale).
+        from .hybrid_engine import build_dense_rows
+
         self.tail_offsets: List[np.ndarray] = []
         max_tail = 1
         tail_data = []
         for s in range(self.n_shards):
-            dense = np.zeros((self.t_heavy, self.shard_docs), dtype=np.float32)
             sel = heavy_mask & (shard_of == s)
-            np.add.at(
-                dense,
-                (row_of_all[term_of[sel]], doc_ids[sel] - self.doc_lo[s]),
-                impacts[sel],
-            )
-            dtype = jnp.bfloat16 if dense.max() <= 256 else jnp.float32
-            dense_shards.append(dense.astype(dtype))
+            hrows = row_of_all[term_of[sel]]
+            order = np.argsort(hrows, kind="stable")
+            h_docs = (doc_ids[sel] - self.doc_lo[s])[order].astype(np.int32)
+            h_vals = impacts[sel][order]
+            counts = np.bincount(hrows, minlength=self.t_heavy)
+            heavy_starts = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+            if len(h_docs):
+                dense_s = build_dense_rows(
+                    jax.device_put(h_docs, devices[s]),
+                    jax.device_put(h_vals, devices[s]),
+                    heavy_starts,
+                    self.t_heavy,
+                    self.shard_docs,
+                )
+            else:
+                dense_s = jax.device_put(
+                    np.zeros((self.t_heavy, self.shard_docs), np.float32).astype(
+                        jnp.bfloat16
+                    ),
+                    devices[s],
+                )
+            dense_shards.append(dense_s)
 
             tsel = (~heavy_mask) & (shard_of == s)
             t_term = term_of[tsel]
