@@ -113,6 +113,33 @@ def test_exact_topk_integer_vs_numpy():
             assert len(set(i[q][sel].tolist())) == sel.sum()
 
 
+def test_exact_topk_integer_shape_sweep():
+    """Randomized sweep over awkward shapes: n below/at/above one rank
+    block, k >= n, heavy ties, all-zero rows, single row."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    cases = [
+        (1, 50, 10), (3, 255, 300), (2, 256, 256), (5, 257, 100),
+        (4, 1000, 1000), (8, 5000, 17), (2, 513, 512),
+    ]
+    for q, n, k in cases:
+        scores = np.where(
+            rng.random((q, n)) < 0.5, rng.integers(0, 9, (q, n)), 0
+        ).astype(np.float32)  # few distinct values -> massive ties
+        if q > 1:
+            scores[1, :] = 0.0
+        v, i = exact_topk_integer(jnp.asarray(scores), k)
+        v, i = np.asarray(v), np.asarray(i)
+        kk = min(k, n)
+        ref = -np.sort(-scores, axis=1)[:, :kk]
+        np.testing.assert_array_equal(v, np.where(ref > 0, ref, 0), err_msg=str((q, n, k)))
+        for row in range(q):
+            sel = v[row] > 0
+            np.testing.assert_array_equal(scores[row, i[row][sel]], v[row][sel])
+            assert len(set(i[row][sel].tolist())) == sel.sum()
+
+
 def test_hybrid_duplicate_postings_accumulate():
     """Duplicate (term, doc) postings must sum in the dense rows exactly like
     the host/scatter paths (regression: dense build once used assignment)."""
