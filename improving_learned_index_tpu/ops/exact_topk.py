@@ -68,10 +68,10 @@ def exact_topk_integer(scores: jnp.ndarray, k: int):
     q, n = scores.shape
     k = min(k, n)
 
-    # -- 1. 16-ary search for s_k per row over [1, row_max] --------------------
+    # -- 1. n-ary search for s_k per row over [1, row_max] ---------------------
     lo = jnp.ones((q, 1), jnp.float32)
     hi = jnp.maximum(jnp.max(scores, axis=1, keepdims=True), 1.0)
-    frac = jnp.arange(1, _ARITY, dtype=jnp.float32) / _ARITY  # [15]
+    frac = jnp.arange(1, _ARITY, dtype=jnp.float32) / _ARITY  # [_ARITY - 1]
 
     def search_cond(lh):
         lo, hi = lh
