@@ -71,13 +71,19 @@ class EncoderConfig:
     impact_activation: str = "relu"
     # Compute dtype for matmuls (params stay fp32).
     dtype: str = "bfloat16"
+    # Short-sequence Pallas attention (TPU backend, S <= 512): the whole
+    # [S, S] attention matrix per (batch, head) stays VMEM-resident, so the
+    # fp32 logits never hit HBM (profiled as ~64% of the bert-base S=256
+    # forward on the XLA path).  ops/short_attention.py; backward recomputes
+    # via XLA so training works through it.
+    use_short_attention: bool = True
     # Pallas flash attention (TPU backend only; falls back to the XLA path
     # off-TPU, for seq lengths not divisible by 128, or when attention
     # dropout is active / attention maps are requested).  Default OFF:
-    # measured on v5e-1 the XLA fused attention beats the Pallas kernel at
-    # retrieval sequence lengths (S=256: 1380 vs 1046 docs/s; S=512: 625 vs
-    # 393 docs/s, bert-base) — O(S^2) HBM traffic only dominates at S >= ~2K,
-    # where this flag pays off.
+    # measured on v5e-1 the XLA fused attention beats the long-sequence
+    # flash kernel at retrieval sequence lengths (S=256: 1778 vs 1289
+    # docs/s at B=512, bert-base) — its streaming-KV machinery only pays
+    # at S >= ~2K.  The short-sequence kernel above covers S <= 512.
     use_flash_attention: bool = False
 
     @staticmethod

@@ -65,6 +65,20 @@ class Embeddings(nn.Module):
         return x.astype(_dtype(c))
 
 
+def _can_use_short_attn(config: EncoderConfig, seq_len: int, head_dim: int,
+                        deterministic: bool, output_attentions: bool) -> bool:
+    """The VMEM-resident short-sequence kernel handles S <= 512 when nothing
+    needs attention maps or attention-prob dropout (its backward recomputes
+    via the XLA math, so training through it is fine)."""
+    if not config.use_short_attention or output_attentions:
+        return False
+    if not deterministic and config.attention_dropout > 0:
+        return False
+    from ..ops.short_attention import can_use_short_attention
+
+    return can_use_short_attention(seq_len, head_dim)
+
+
 def _can_use_flash(config: EncoderConfig, seq_len: int, deterministic: bool,
                    output_attentions: bool) -> bool:
     """Flash attention is used on the TPU backend when the shape fits the
@@ -103,7 +117,25 @@ class SelfAttention(nn.Module):
         k = dense("key")(x)
         v = dense("value")(x)
 
-        if attention_mask is not None and _can_use_flash(
+        if attention_mask is not None and _can_use_short_attn(
+            c, x.shape[1], head_dim, deterministic, output_attentions
+        ):
+            # Short-sequence Pallas attention: the whole [S, S] matrix for
+            # one (batch, head) stays VMEM-resident — no fp32 logits in HBM
+            # (profiled as ~64% of the forward at S=256/B=512), none of the
+            # long-sequence flash kernel's streaming overhead (which measured
+            # SLOWER than XLA here).  ops/short_attention.py.
+            from ..ops.short_attention import short_attention
+
+            ctx = short_attention(
+                q.transpose(0, 2, 1, 3),  # [B, H, S, hd]
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                attention_mask.astype(jnp.int32),
+                float(1.0 / np.sqrt(head_dim)),
+            ).transpose(0, 2, 1, 3)
+            probs = None
+        elif attention_mask is not None and _can_use_flash(
             c, x.shape[1], deterministic, output_attentions
         ):
             # Pallas flash attention: no [B, H, L, L] materialization in HBM
@@ -154,6 +186,8 @@ class EncoderLayer(nn.Module):
             x, attention_bias, deterministic, attention_mask, output_attentions
         )
         attn_out = nn.Dropout(c.hidden_dropout)(attn_out, deterministic=deterministic)
+        # fp32 LayerNorm (a Pallas LN measured no faster: the cost here is
+        # residual-stream traffic, not the reduction)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="attention_norm")(
             (x + attn_out).astype(jnp.float32)
         ).astype(dt)
