@@ -95,6 +95,55 @@ def _can_use_flash(config: EncoderConfig, seq_len: int, deterministic: bool,
         return False
 
 
+class HeadProjection(nn.Module):
+    """Per-head projection with DenseGeneral's param tree (kernel
+    [H, heads, hd], bias [heads, hd]) that can emit the attention kernels'
+    [B, heads, S, hd] layout straight out of the contraction — XLA writes
+    the matmul result in that layout for free, where a separate transpose
+    op costs a full HBM read+write of the tensor per projection."""
+
+    heads: int
+    head_dim: int
+    dtype: Any
+    transposed_out: bool
+
+    @nn.compact
+    def __call__(self, x):
+        h = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (h, self.heads, self.head_dim)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.heads, self.head_dim))
+        xb = x.astype(self.dtype)
+        kb = kernel.astype(self.dtype)
+        if self.transposed_out:
+            return (
+                jnp.einsum("bsh,hnd->bnsd", xb, kb)
+                + bias.astype(self.dtype)[None, :, None, :]
+            )
+        return jnp.einsum("bsh,hnd->bsnd", xb, kb) + bias.astype(self.dtype)
+
+
+class HeadOutputProjection(nn.Module):
+    """DenseGeneral(axis=(-2,-1)) equivalent (kernel [heads, hd, H], bias
+    [H]) accepting either context layout without a separate transpose."""
+
+    hidden: int
+    dtype: Any
+    from_transposed: bool
+
+    @nn.compact
+    def __call__(self, ctx):
+        n, d = (ctx.shape[1], ctx.shape[3]) if self.from_transposed else ctx.shape[2:]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (n, d, self.hidden)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.hidden,))
+        kb = kernel.astype(self.dtype)
+        eq = "bnsd,ndh->bsh" if self.from_transposed else "bsnd,ndh->bsh"
+        return jnp.einsum(eq, ctx.astype(self.dtype), kb) + bias.astype(self.dtype)
+
+
 class SelfAttention(nn.Module):
     config: EncoderConfig
 
@@ -110,36 +159,38 @@ class SelfAttention(nn.Module):
         c = self.config
         head_dim = c.hidden_size // c.num_heads
         dt = _dtype(c)
-        dense = lambda name: nn.DenseGeneral(
-            (c.num_heads, head_dim), dtype=dt, name=name
+        use_short = attention_mask is not None and _can_use_short_attn(
+            c, x.shape[1], head_dim, deterministic, output_attentions
+        )
+        use_flash = (
+            not use_short
+            and attention_mask is not None
+            and _can_use_flash(c, x.shape[1], deterministic, output_attentions)
+        )
+        transposed = use_short or use_flash
+        dense = lambda name: HeadProjection(
+            c.num_heads, head_dim, dt, transposed_out=transposed, name=name
         )
         q = dense("query")(x)
         k = dense("key")(x)
         v = dense("value")(x)
 
-        if attention_mask is not None and _can_use_short_attn(
-            c, x.shape[1], head_dim, deterministic, output_attentions
-        ):
+        if use_short:
             # Short-sequence Pallas attention: the whole [S, S] matrix for
             # one (batch, head) stays VMEM-resident — no fp32 logits in HBM
-            # (profiled as ~64% of the forward at S=256/B=512), none of the
+            # (profiled as ~half the forward at S=256/B=512), none of the
             # long-sequence flash kernel's streaming overhead (which measured
             # SLOWER than XLA here).  ops/short_attention.py.
             from ..ops.short_attention import short_attention
 
             ctx = short_attention(
-                q.transpose(0, 2, 1, 3),  # [B, H, S, hd]
-                k.transpose(0, 2, 1, 3),
-                v.transpose(0, 2, 1, 3),
+                q, k, v,  # already [B, H, S, hd] from the projections
                 attention_mask.astype(jnp.int32),
                 float(1.0 / np.sqrt(head_dim)),
-            ).transpose(0, 2, 1, 3)
+            )
             probs = None
-        elif attention_mask is not None and _can_use_flash(
-            c, x.shape[1], deterministic, output_attentions
-        ):
-            # Pallas flash attention: no [B, H, L, L] materialization in HBM
-            # (the encode-path hot op; see /opt/skills/guides notes).
+        elif use_flash:
+            # Pallas flash attention for longer sequences.
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 SegmentIds,
                 flash_attention,
@@ -147,12 +198,10 @@ class SelfAttention(nn.Module):
 
             seg = attention_mask.astype(jnp.int32)
             ctx = flash_attention(
-                q.transpose(0, 2, 1, 3),  # [B, H, L, hd]
-                k.transpose(0, 2, 1, 3),
-                v.transpose(0, 2, 1, 3),
+                q, k, v,
                 segment_ids=SegmentIds(q=seg, kv=seg),
                 sm_scale=float(1.0 / np.sqrt(head_dim)),
-            ).transpose(0, 2, 1, 3)
+            )
             probs = None
         else:
             # [B, H, Lq, Lk] logits in fp32 for a stable softmax.
@@ -162,8 +211,8 @@ class SelfAttention(nn.Module):
             probs = jax.nn.softmax(logits, axis=-1).astype(dt)
             probs = nn.Dropout(c.attention_dropout)(probs, deterministic=deterministic)
             ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
-        out = nn.DenseGeneral(
-            c.hidden_size, axis=(-2, -1), dtype=dt, name="output_dense"
+        out = HeadOutputProjection(
+            c.hidden_size, dt, from_transposed=transposed, name="output_dense"
         )(ctx)
         return out, probs
 
