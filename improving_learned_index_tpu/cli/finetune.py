@@ -31,9 +31,12 @@ def main(argv=None) -> int:
                         help="also save base+adapter merged params")
     parser.add_argument("--llama_path", type=str, default=None)
     parser.add_argument("--prompt", choices=["en", "vi"], default="en")
-    parser.add_argument("--lora_r", type=int, default=16)
-    parser.add_argument("--lora_alpha", type=int, default=32)
-    parser.add_argument("--lr", type=float, default=2e-4)
+    # None = "use the variant's recipe value" (default: r=16 alpha=32 lr=2e-4,
+    # reference finetune.py:100-121; trl_4bit: r=64 alpha=16 lr=2e-4,
+    # finetune_4bit.py:22-41); an explicit flag overrides either recipe
+    parser.add_argument("--lora_r", type=int, default=None)
+    parser.add_argument("--lora_alpha", type=int, default=None)
+    parser.add_argument("--lr", type=float, default=None)
     parser.add_argument("--batch_size", type=int, default=4)
     parser.add_argument("--max_length", type=int, default=2048)
     parser.add_argument("--total_steps", type=int, default=None)
@@ -119,14 +122,24 @@ def main(argv=None) -> int:
         overrides = dict(common)
         if quantize_base is not None:
             overrides["quantize_base"] = quantize_base
+        if args.lr is not None:
+            overrides["lr"] = args.lr
+        if args.lora_r is not None or args.lora_alpha is not None:
+            overrides["lora_config"] = LoraConfig(
+                r=args.lora_r if args.lora_r is not None else 64,
+                alpha=args.lora_alpha if args.lora_alpha is not None else 16,
+            )
         ft = Doc2QueryFineTuner.trl_4bit(params, config, tokenizer, **overrides)
     else:
         ft = Doc2QueryFineTuner(
             params,
             config,
             tokenizer,
-            lora_config=LoraConfig(r=args.lora_r, alpha=args.lora_alpha),
-            lr=args.lr,
+            lora_config=LoraConfig(
+                r=args.lora_r if args.lora_r is not None else 16,
+                alpha=args.lora_alpha if args.lora_alpha is not None else 32,
+            ),
+            lr=args.lr if args.lr is not None else 2e-4,
             quantize_base=quantize_base,
             **common,
         )

@@ -19,7 +19,12 @@ def main(argv=None) -> int:
     parser.add_argument("--qrels_path", type=Path, default=None)
     parser.add_argument("--dataset_type", choices=["msmarco", "beir"], default="msmarco")
     parser.add_argument("--pairwise", action="store_true")
-    parser.add_argument("--engine", choices=["device", "hybrid", "host", "native"], default="device")
+    parser.add_argument("--engine",
+                        choices=["auto", "device", "hybrid", "host", "native"],
+                        default="auto",
+                        help="auto (default) picks the measured-best TPU "
+                        "engine by corpus size: hybrid at corpus scale, "
+                        "device for small eval corpora")
     parser.add_argument("--top_k", type=int, default=1000)
     parser.add_argument("--approx_top_k", action="store_true",
                         help="hardware-friendly approximate top-k (device engine)")

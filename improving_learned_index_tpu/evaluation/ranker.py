@@ -33,7 +33,7 @@ class Ranker:
         qrels_path: Optional[Union[str, Path]] = None,
         dataset_type: str = "msmarco",
         pairwise: bool = False,
-        engine: str = "device",  # device | hybrid | host | native
+        engine: str = "auto",  # auto | device | hybrid | host | native
         batch_size: int = 256,
         top_k: int = 1000,
         approx_top_k: bool = False,
@@ -54,6 +54,16 @@ class Ranker:
             self.engine = NativeSearchEngine(index_path)
         else:
             index = InvertedIndexData.load(index_path)
+            if engine == "auto":
+                # measured-best default per corpus size (search.select):
+                # hybrid at corpus scale, device for small eval corpora
+                from ..search.select import choose_engine
+
+                engine = choose_engine(int(index.num_docs))
+                logger.info(
+                    f"auto-selected engine '{engine}' for "
+                    f"{int(index.num_docs)} docs"
+                )
             if engine == "device":
                 from ..core.config import SearchConfig
 

@@ -17,6 +17,7 @@ import numpy as np
 from ..core.config import SearchConfig
 from ..core.logging import get_logger
 from ..search.device_engine import DeviceSearchEngine
+from ..search.select import HYBRID_MIN_DOCS
 
 logger = get_logger("sparse_search", stream=False)
 
@@ -39,10 +40,18 @@ class SparseSearch:
                 for doc_impacts in self.model.get_impact_scores_batch(batch):
                     yield doc_impacts
 
-        # chunked device engine: measured fastest end-to-end at eval scale
-        # (2149 q/s vs 1845 for the dense-matmul engine on v5e-1; the dense
-        # engine in search.dense_engine remains available as an alternative)
-        self.engine = DeviceSearchEngine.from_term_impacts(impacts())
+        if len(texts) >= HYBRID_MIN_DOCS:
+            # corpus-scale eval: the flat [Q, num_docs] scatter accumulator
+            # stops being the right shape; use the hybrid engine in
+            # float-exact mode (sort-based top_k, fp32 dense rows)
+            from ..search.hybrid_engine import HybridSearchEngine
+
+            self.engine = HybridSearchEngine.from_term_impacts(impacts())
+        else:
+            # chunked device engine: measured fastest end-to-end at eval scale
+            # (2149 q/s vs 1845 for the dense-matmul engine on v5e-1; the dense
+            # engine in search.dense_engine remains available as an alternative)
+            self.engine = DeviceSearchEngine.from_term_impacts(impacts())
         if self.verbose:
             logger.info(
                 f"built in-memory index: {len(self.engine.vocab)} terms over "

@@ -104,7 +104,9 @@ class Doc2QueryFineTuner:
         quantize_base_int8: bool = False,
         quantize_base: Optional[str] = None,
         max_grad_norm: Optional[float] = None,
-        weight_decay: float = 0.0,
+        # optax.adamw's own default; kept as the explicit default so adding
+        # the knob did not change how existing fine-tune runs train
+        weight_decay: float = 1e-4,
     ):
         self.base_params = params
         self.config = config

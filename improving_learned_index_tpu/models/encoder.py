@@ -110,8 +110,14 @@ class HeadProjection(nn.Module):
     @nn.compact
     def __call__(self, x):
         h = x.shape[-1]
+        # fan_in must be the contracted axis (h) like the nn.DenseGeneral this
+        # replaces — plain lecun_normal on a 3-D kernel would count heads*h
         kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), (h, self.heads, self.head_dim)
+            "kernel",
+            nn.initializers.variance_scaling(
+                1.0, "fan_in", "truncated_normal", in_axis=0, out_axis=(1, 2)
+            ),
+            (h, self.heads, self.head_dim),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.heads, self.head_dim))
         xb = x.astype(self.dtype)
@@ -135,8 +141,13 @@ class HeadOutputProjection(nn.Module):
     @nn.compact
     def __call__(self, ctx):
         n, d = (ctx.shape[1], ctx.shape[3]) if self.from_transposed else ctx.shape[2:]
+        # contracted axes are (n, d): fan_in = n*d, matching DenseGeneral
         kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), (n, d, self.hidden)
+            "kernel",
+            nn.initializers.variance_scaling(
+                1.0, "fan_in", "truncated_normal", in_axis=(0, 1), out_axis=2
+            ),
+            (n, d, self.hidden),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.hidden,))
         kb = kernel.astype(self.dtype)

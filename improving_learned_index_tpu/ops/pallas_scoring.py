@@ -166,8 +166,8 @@ def _hybrid_scores_topk(
             num_scalar_prefetch=3,
             grid=(num_queries // QG, num_blocks),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # docs stay in HBM
-                pl.BlockSpec(memory_space=pltpu.ANY),  # vals stay in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # docs stay in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # vals stay in HBM
             ],
             out_specs=pl.BlockSpec((QG, BLK), lambda qg, b, *_: (qg, b)),
             scratch_shapes=[

@@ -63,6 +63,44 @@ def _bucket(n: int, base: int = 16) -> int:
     return b
 
 
+def csr_from_term_impacts(per_doc_impacts):
+    """Build CSR arrays (vocab, offsets, doc_ids, impacts, num_docs) from an
+    iterable of per-doc [(term, float score), ...] lists, keeping score > 0 —
+    the reference SparseSearch in-memory index semantics
+    (nano_beir_evaluator.py:78-101).  Shared by the device and hybrid
+    engines' ``from_term_impacts`` constructors."""
+    vocab: dict = {}
+    term_ids, docs, vals = [], [], []
+    n_docs = 0
+    for doc_id, impacts in enumerate(per_doc_impacts):
+        n_docs += 1
+        for term, score in impacts:
+            if score <= 0:
+                continue
+            tid = vocab.setdefault(term, len(vocab))
+            term_ids.append(tid)
+            docs.append(doc_id)
+            vals.append(score)
+    tid_arr = np.asarray(term_ids, dtype=np.int64)
+    order = np.argsort(tid_arr, kind="stable")
+    counts = (
+        np.bincount(tid_arr, minlength=len(vocab))
+        if len(tid_arr)
+        else np.zeros(len(vocab), np.int64)
+    )
+    offsets = np.zeros(len(vocab) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    doc_arr = (
+        np.asarray(docs, dtype=np.int64)[order] if len(order) else np.empty(0, np.int64)
+    )
+    val_arr = (
+        np.asarray(vals, dtype=np.float32)[order]
+        if len(order)
+        else np.empty(0, np.float32)
+    )
+    return vocab, offsets, doc_arr, val_arr, n_docs
+
+
 from functools import partial
 
 
@@ -148,29 +186,15 @@ class DeviceSearchEngine:
         """Build an in-memory float-impact engine straight from encoder
         output — the reference SparseSearch in-memory index semantics
         (nano_beir_evaluator.py:78-101: keep score > 0, no quantization)."""
-        vocab: dict = {}
-        term_ids, docs, vals = [], [], []
-        n_docs = 0
-        for doc_id, impacts in enumerate(per_doc_impacts):
-            n_docs += 1
-            for term, score in impacts:
-                if score <= 0:
-                    continue
-                tid = vocab.setdefault(term, len(vocab))
-                term_ids.append(tid)
-                docs.append(doc_id)
-                vals.append(score)
-        tid_arr = np.asarray(term_ids, dtype=np.int64)
-        order = np.argsort(tid_arr, kind="stable")
-        counts = np.bincount(tid_arr, minlength=len(vocab)) if len(tid_arr) else np.zeros(len(vocab), np.int64)
-        offsets = np.zeros(len(vocab) + 1, dtype=np.int64)
-        np.cumsum(counts, out=offsets[1:])
+        vocab, offsets, doc_ids, impacts, n_docs = csr_from_term_impacts(
+            per_doc_impacts
+        )
         return cls(
             config=config,
             vocab=vocab,
             offsets=offsets,
-            doc_ids=np.asarray(docs, dtype=np.int64)[order] if len(order) else np.empty(0, np.int64),
-            impacts=np.asarray(vals, dtype=np.float32)[order] if len(order) else np.empty(0, np.float32),
+            doc_ids=doc_ids,
+            impacts=impacts,
             num_docs=n_docs,
         )
 

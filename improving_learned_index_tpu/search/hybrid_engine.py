@@ -129,6 +129,7 @@ def build_dense_rows(
     t_heavy: int,
     n_pad: int,
     chunk_rows: int = 64,
+    force_fp32: bool = False,
 ):
     """Scatter-accumulate dense heavy rows [t_heavy, n_pad] on the device
     holding ``doc_ids``/``impacts``.
@@ -208,6 +209,11 @@ def build_dense_rows(
     # bf16 represents integers <= 256 exactly — enough for 8-bit
     # quantized impacts.  If accumulation pushed any cell past that
     # (duplicate postings), rebuild in fp32: 2x bytes, still exact.
+    # force_fp32: non-integer float impacts are never bf16-exact.
+    if force_fp32:
+        dense, _ = build(jnp.float32)
+        dense.block_until_ready()
+        return dense
     dense, mx = build(jnp.bfloat16)
     if mx > 256:
         del dense
@@ -216,7 +222,7 @@ def build_dense_rows(
     return dense
 
 
-@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11))
+@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12))
 def _score_and_topk(
     dense: jnp.ndarray,      # [T_h, N_pad] bf16 dense heavy rows
     w: jnp.ndarray,          # [Q, T_h] bf16 one-hot heavy query terms
@@ -230,6 +236,7 @@ def _score_and_topk(
     use_dense: bool,
     use_tail: bool,
     approx: bool,
+    integer_scores: bool = True,
 ):
     q = w.shape[0]
     n_pad = dense.shape[1]
@@ -266,8 +273,14 @@ def _score_and_topk(
     if approx:
         vals, idx = jax.lax.approx_max_k(scores, k, recall_target=0.99)
         idx = idx.astype(jnp.int32)
-    else:
+    elif integer_scores:
         vals, idx = exact_topk_integer(scores, k)
+    else:
+        # float impacts (e.g. SparseSearch's unquantized in-memory index):
+        # the n-ary threshold search needs an integer score lattice, so fall
+        # back to the exact sort-based top_k
+        vals, idx = jax.lax.top_k(scores, k)
+        idx = idx.astype(jnp.int32)
     # Pack (scores, indices) into one int32 array: a single host fetch per
     # batch (the axon relay charges ~30ms latency per transfer).
     return jnp.stack([jax.lax.bitcast_convert_type(vals, jnp.int32), idx], axis=1)
@@ -282,13 +295,22 @@ class HybridSearchEngine:
         config: SearchConfig = SearchConfig(),
         heavy_min: int = 1024,
         dense_budget_bytes: int = 4 << 30,
+        integer_scores: bool = True,
     ):
         self.config = config
+        # True for quantized indexes (scores are exact small-integer sums:
+        # exact_topk_integer applies); False for float impact values
+        # (SparseSearch's in-memory index), which use sort-based top_k and
+        # an fp32 dense matrix
+        self.integer_scores = integer_scores
         self.vocab: Dict[str, int] = index.term_to_id
         self.num_docs = max(int(index.num_docs), 1)
-        if self.num_docs > _SCATTER_TILE:
+        if self.num_docs >= _TILED_MIN_DOCS:
             # tile-aligned so the tail scatter can work on VMEM-resident
-            # [Q, _SCATTER_TILE] windows (see _apply_tail_tiled)
+            # [Q, _SCATTER_TILE] windows (see _apply_tail_tiled); below the
+            # tiled-path threshold the flat scatter runs, which only needs
+            # 128-lane alignment — full tile alignment there would waste up
+            # to ~2x dense-matrix HBM (65537 docs would pad to 131072)
             self.n_pad = -(-self.num_docs // _SCATTER_TILE) * _SCATTER_TILE
         else:
             self.n_pad = ((self.num_docs + 127) // 128) * 128
@@ -363,6 +385,42 @@ class HybridSearchEngine:
             self.t_heavy,
             self.n_pad,
             chunk_rows=self._DENSE_CHUNK_ROWS,
+            force_fp32=not self.integer_scores,
+        )
+
+    @classmethod
+    def from_term_impacts(
+        cls,
+        per_doc_impacts,  # iterable of [(term, float score), ...] per doc
+        config: SearchConfig = SearchConfig(),
+        heavy_min: int = 1024,
+        dense_budget_bytes: int = 4 << 30,
+    ) -> "HybridSearchEngine":
+        """In-memory float-impact engine straight from encoder output (the
+        reference SparseSearch index semantics, nano_beir_evaluator.py:78-101:
+        keep score > 0, no quantization) — for eval corpora too large for the
+        device engine's flat [Q, num_docs] scatter."""
+        from .device_engine import csr_from_term_impacts
+
+        vocab, offsets, doc_ids, impacts, n_docs = csr_from_term_impacts(
+            per_doc_impacts
+        )
+
+        class _FloatCSR:  # duck-typed InvertedIndexData with float impacts
+            pass
+
+        idx = _FloatCSR()
+        idx.term_to_id = vocab
+        idx.offsets = offsets
+        idx.doc_ids = doc_ids
+        idx.impacts = impacts
+        idx.num_docs = n_docs
+        return cls(
+            idx,
+            config,
+            heavy_min=heavy_min,
+            dense_budget_bytes=dense_budget_bytes,
+            integer_scores=False,
         )
 
     def _tables(self, query_term_sets: Sequence[Set[str]]):
@@ -435,6 +493,7 @@ class HybridSearchEngine:
             use_dense,
             use_tail,
             self.config.approx_top_k,
+            self.integer_scores,
         )
 
         def finalize() -> List[List[Tuple[int, float]]]:

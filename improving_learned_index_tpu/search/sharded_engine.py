@@ -27,7 +27,7 @@ from typing import Dict, List, Optional, Sequence, Set, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.config import SearchConfig
@@ -67,14 +67,14 @@ class ShardedSearchEngine:
             )
         self.vocab: Dict[str, int] = index.term_to_id
         self.num_docs = max(int(index.num_docs), 1)
-        # equal doc ranges, each padded to a lane multiple — or, past one
-        # scatter tile, to a tile multiple so the local tail scatter can use
-        # the VMEM-tiled path (hybrid_engine._apply_tail_tiled)
-        from .hybrid_engine import _SCATTER_TILE
-
+        # equal doc ranges, each padded to a lane multiple — or, past the
+        # tiled-scatter threshold, to a tile multiple so the local tail
+        # scatter can use the VMEM-tiled path (hybrid_engine._apply_tail_tiled).
+        # Below that threshold the flat scatter runs and only needs 128-lane
+        # alignment; tile-aligning there would waste up to ~2x dense HBM.
         per = -(-self.num_docs // self.n_shards)
-        if per > _SCATTER_TILE:
-            self.shard_docs = -(-per // _SCATTER_TILE) * _SCATTER_TILE
+        if per >= _TILED_MIN:
+            self.shard_docs = -(-per // _TILE) * _TILE
         else:
             self.shard_docs = ((per + 127) // 128) * 128
         self.doc_lo = np.arange(self.n_shards) * self.shard_docs
@@ -234,7 +234,7 @@ class ShardedSearchEngine:
                     P(axis_),
                 ),
                 out_specs=P(axis_, None, None, None),
-                check_rep=False,
+                check_vma=False,
             )(dense, tail_docs, tail_vals, tail_table, doc_lo)
             return out[0]
 

@@ -214,3 +214,79 @@ def test_hybrid_stream_pipelined():
     for out in outs:
         for a, b in zip(out, sync):
             assert a == b
+
+
+def test_hybrid_float_exact_matches_device():
+    """Float-impact mode (integer_scores=False): HybridSearchEngine built
+    via from_term_impacts agrees with DeviceSearchEngine.from_term_impacts
+    on the same float impacts (the SparseSearch in-memory semantics)."""
+    from improving_learned_index_tpu.search.device_engine import DeviceSearchEngine
+
+    rng = np.random.default_rng(11)
+    docs = []
+    for _ in range(300):
+        n_terms = rng.integers(1, 12)
+        docs.append(
+            [(f"t{rng.integers(0, 50)}", float(rng.uniform(-0.5, 4.0)))
+             for _ in range(n_terms)]
+        )
+    dev = DeviceSearchEngine.from_term_impacts(iter(docs))
+    hyb = HybridSearchEngine.from_term_impacts(iter(docs), heavy_min=8)
+    assert hyb.integer_scores is False
+    queries = [{f"t{i}", f"t{i+1}", "unknown"} for i in range(0, 40, 3)]
+    ours = hyb.score_batch(queries, 25)
+    theirs = dev.score_batch(queries, 25)
+    for o, t in zip(ours, theirs):
+        o_scores = [round(s, 4) for _, s in o]
+        t_scores = [round(float(s), 4) for _, s in t]
+        assert o_scores == t_scores
+        assert dict(o).keys() == {int(d) for d, _ in t} or o_scores[-1:] == t_scores[-1:]
+
+
+def test_choose_engine_thresholds():
+    from improving_learned_index_tpu.search.select import (
+        HYBRID_MIN_DOCS,
+        choose_engine,
+    )
+
+    assert choose_engine(100) == "device"
+    assert choose_engine(HYBRID_MIN_DOCS - 1) == "device"
+    assert choose_engine(HYBRID_MIN_DOCS) == "hybrid"
+    assert choose_engine(10**7) == "hybrid"
+
+
+def test_sparse_search_picks_hybrid_at_scale(monkeypatch):
+    """SparseSearch switches to the float-exact hybrid engine above the
+    corpus-size threshold, and the two engines rank identically."""
+    from improving_learned_index_tpu.evaluation import sparse_search as ss
+
+    class ToyModel:
+        def get_impact_scores_batch(self, texts):
+            return [
+                [(w, float(len(w)) / 2) for w in set(t.split())] for t in texts
+            ]
+
+        def process_query(self, q):
+            return set(q.split())
+
+    corpus = {
+        f"d{i}": f"w{i % 17} w{(i * 3) % 11} common"
+        for i in range(200)
+    }
+    queries = {"q0": "w3 common", "q1": "w10 w5"}
+    small = ss.SparseSearch(ToyModel())
+    res_small = small.search(queries, corpus, k=10)
+    from improving_learned_index_tpu.search.device_engine import DeviceSearchEngine
+
+    assert isinstance(small.engine, DeviceSearchEngine)
+
+    monkeypatch.setattr(ss, "HYBRID_MIN_DOCS", 100)
+    big = ss.SparseSearch(ToyModel())
+    res_big = big.search(queries, corpus, k=10)
+    from improving_learned_index_tpu.search.hybrid_engine import HybridSearchEngine
+
+    assert isinstance(big.engine, HybridSearchEngine)
+    for qid in queries:
+        assert {k: round(v, 4) for k, v in res_small[qid].items()} == {
+            k: round(v, 4) for k, v in res_big[qid].items()
+        }
