@@ -94,63 +94,99 @@ class InvertedIndexData:
         reference's term_docs loop, inverted_index.py:49-51) but are retained
         in the zero side-CSR because the reference creator writes them to
         .dat (create.py:44-46) — byte parity requires them on save().
+
+        Corpus-scale memory: postings accumulate into fixed-size TYPED
+        chunks (int32 tid / uint32 doc / uint8 impact = 9 B/posting; Python
+        int lists cost ~28 B per element, ~9x), and the (term asc, impact
+        desc) order comes from ONE stable integer argsort on the combined
+        key ``tid * 256 + (255 - impact)`` — numpy's stable argsort on
+        integer keys is a radix sort, so there is no full tuple lexsort and
+        the transient peak is ~29 B/posting (arrays + key + order).
         """
-        terms: List[str] = []
-        term_ids: List[int] = []
-        docs: List[int] = []
-        vals: List[int] = []
+        _CHUNK = 1 << 22  # 4M postings per accumulation chunk (36 MB)
         vocab_map: Dict[str, int] = {}
+        terms: List[str] = []
+        chunks: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        c_tid = np.empty(_CHUNK, np.int32)
+        c_doc = np.empty(_CHUNK, np.uint32)
+        c_val = np.empty(_CHUNK, np.uint8)
+        fill = 0
         max_doc = -1
         for doc_id, impacts in doc_term_impacts:
             max_doc = max(max_doc, doc_id)
             for term, val in impacts.items():
-                v = max(0, int(val))
+                v = min(max(0, int(val)), 255)
                 tid = vocab_map.get(term)
                 if tid is None:
                     tid = len(vocab_map)
                     vocab_map[term] = tid
                     terms.append(term)
-                term_ids.append(tid)
-                docs.append(doc_id)
-                vals.append(v)
+                if fill == _CHUNK:
+                    chunks.append((c_tid, c_doc, c_val))
+                    c_tid = np.empty(_CHUNK, np.int32)
+                    c_doc = np.empty(_CHUNK, np.uint32)
+                    c_val = np.empty(_CHUNK, np.uint8)
+                    fill = 0
+                c_tid[fill] = tid
+                c_doc[fill] = doc_id
+                c_val[fill] = v
+                fill += 1
+        chunks.append((c_tid[:fill], c_doc[:fill], c_val[:fill]))
 
         # Re-map term ids to sorted-vocab order (reference vocab.txt is sorted).
         order = np.argsort(terms, kind="stable")
         sorted_vocab = [terms[i] for i in order]
-        remap = np.empty(len(terms), dtype=np.int64)
+        remap = np.empty(max(len(terms), 1), dtype=np.int64)
         remap[order] = np.arange(len(terms))
 
-        tid_arr = remap[np.asarray(term_ids, dtype=np.int64)] if term_ids else np.empty(0, np.int64)
-        doc_arr = np.asarray(docs, dtype=np.int64)
-        val_arr = np.asarray(vals, dtype=np.int64)
-
-        # Sort by (term_id asc, impact desc) with stable doc order:
-        # lexsort on (doc-order implicit via stability, -impact, term).
-        if len(tid_arr):
-            sort_idx = np.lexsort((-val_arr, tid_arr))
-            tid_arr, doc_arr, val_arr = tid_arr[sort_idx], doc_arr[sort_idx], val_arr[sort_idx]
-
+        n = sum(len(c[0]) for c in chunks)
         nvocab = len(sorted_vocab)
-        nonzero = val_arr > 0
-        main_tid, main_doc, main_val = tid_arr[nonzero], doc_arr[nonzero], val_arr[nonzero]
-        zero_tid, zero_doc = tid_arr[~nonzero], doc_arr[~nonzero]
+        # combined sort key (term asc, impact desc); doc order rides on
+        # argsort stability.  21 B/posting transient: key 8 + doc 4 + val 1 +
+        # order index 8.
+        key = np.empty(n, np.int64)
+        doc_arr = np.empty(n, np.uint32)
+        val_arr = np.empty(n, np.uint8)
+        nz_counts = np.zeros(nvocab, np.int64)
+        z_counts = np.zeros(nvocab, np.int64)
+        at = 0
+        while chunks:
+            ct, cd, cv = chunks.pop(0)
+            m = len(ct)
+            tid_sorted = remap[ct]
+            key[at : at + m] = tid_sorted * 256 + (255 - cv)
+            doc_arr[at : at + m] = cd
+            val_arr[at : at + m] = cv
+            nz_counts += np.bincount(tid_sorted[cv > 0], minlength=nvocab)
+            z_counts += np.bincount(tid_sorted[cv == 0], minlength=nvocab)
+            at += m
 
-        def _offsets(tids):
-            counts = (
-                np.bincount(tids, minlength=nvocab) if len(tids) else np.zeros(nvocab, np.int64)
-            )
+        if n:
+            # stable argsort on int keys is a radix sort in numpy — no tuple
+            # lexsort, no comparison sort
+            sort_idx = np.argsort(key, kind="stable")
+            del key
+            doc_arr = doc_arr[sort_idx]
+            val_arr = val_arr[sort_idx]
+            del sort_idx
+
+        def _offsets(counts):
             out = np.zeros(nvocab + 1, dtype=np.int64)
             np.cumsum(counts, out=out[1:])
             return out
 
+        # zeros have the largest within-term key (255 - 0), so each term's
+        # zero records form the segment tail: the sorted stream splits into
+        # the two CSRs with one boolean mask
+        nonzero = val_arr > 0
         return cls(
             sorted_vocab,
-            _offsets(main_tid),
-            main_doc.astype(np.uint32),
-            main_val.astype(np.uint8),
+            _offsets(nz_counts),
+            doc_arr[nonzero],
+            val_arr[nonzero],
             num_docs=max(num_docs, max_doc + 1),
-            zero_offsets=_offsets(zero_tid),
-            zero_doc_ids=zero_doc.astype(np.uint32),
+            zero_offsets=_offsets(z_counts),
+            zero_doc_ids=doc_arr[~nonzero],
         )
 
     @classmethod
@@ -169,27 +205,46 @@ class InvertedIndexData:
 
         # Per term: scored (nonzero) records first — already impact-sorted —
         # then the zero-impact records, matching the reference's descending
-        # sort where zeros land last (create.py:41-46).
+        # sort where zeros land last (create.py:41-46).  Written in term
+        # slabs of ~4M postings so the interleave buffer never holds the
+        # whole .dat in RAM (40M+ postings at corpus scale).
         n_main = np.diff(self.offsets)
         n_zero = np.diff(self.zero_offsets)
         full_offsets = np.zeros(len(self.vocab) + 1, dtype=np.int64)
         np.cumsum(n_main + n_zero, out=full_offsets[1:])
 
-        total = int(full_offsets[-1])
-        records = np.empty(total, dtype=_RECORD_DTYPE)
-        if len(self.doc_ids):
-            term_of = np.repeat(np.arange(len(self.vocab)), n_main)
-            within = np.arange(len(self.doc_ids)) - self.offsets[term_of]
-            pos = full_offsets[term_of] + within
-            records["doc_id"][pos] = self.doc_ids
-            records["impact"][pos] = self.impacts
-        if len(self.zero_doc_ids):
-            term_of = np.repeat(np.arange(len(self.vocab)), n_zero)
-            within = np.arange(len(self.zero_doc_ids)) - self.zero_offsets[term_of]
-            pos = full_offsets[term_of] + n_main[term_of] + within
-            records["doc_id"][pos] = self.zero_doc_ids
-            records["impact"][pos] = 0
-        records.tofile(out / INVERTED_INDEX_DATA)
+        _SLAB = 1 << 22
+        with open(out / INVERTED_INDEX_DATA, "wb") as f:
+            t0 = 0
+            nvocab = len(self.vocab)
+            while t0 < nvocab or (nvocab == 0 and t0 == 0):
+                if nvocab == 0:
+                    break
+                t1 = t0
+                while t1 < nvocab and full_offsets[t1 + 1] - full_offsets[t0] <= _SLAB:
+                    t1 += 1
+                t1 = max(t1, t0 + 1)  # a single term may exceed the slab
+                slab = np.empty(
+                    int(full_offsets[t1] - full_offsets[t0]), dtype=_RECORD_DTYPE
+                )
+                base = full_offsets[t0]
+                nm, nz = n_main[t0:t1], n_zero[t0:t1]
+                if nm.sum():
+                    s, e = self.offsets[t0], self.offsets[t1]
+                    term_of = np.repeat(np.arange(t0, t1), nm)
+                    within = np.arange(s, e) - self.offsets[term_of]
+                    pos = full_offsets[term_of] - base + within
+                    slab["doc_id"][pos] = self.doc_ids[s:e]
+                    slab["impact"][pos] = self.impacts[s:e]
+                if nz.sum():
+                    s, e = self.zero_offsets[t0], self.zero_offsets[t1]
+                    term_of = np.repeat(np.arange(t0, t1), nz)
+                    within = np.arange(s, e) - self.zero_offsets[term_of]
+                    pos = full_offsets[term_of] - base + n_main[term_of] + within
+                    slab["doc_id"][pos] = self.zero_doc_ids[s:e]
+                    slab["impact"][pos] = 0
+                slab.tofile(f)
+                t0 = t1
 
         locs = np.empty(2 * len(self.vocab), dtype=_LOC_DTYPE)
         byte_offsets = full_offsets * DOC_SCORE_BLOCK_BYTES
