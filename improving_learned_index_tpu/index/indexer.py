@@ -98,7 +98,12 @@ class Indexer:
                 break
             pending.append(
                 self.model.encode_term_scores(
-                    batch, max_terms=self.config.max_terms, materialize=False
+                    batch,
+                    max_terms=self.config.max_terms,
+                    materialize=False,
+                    # trailing partial batch pads to the steady-state shape:
+                    # one compiled program for the whole stream
+                    pad_to=self.config.model_batch_size,
                 )
             )
             if len(pending) > 1:

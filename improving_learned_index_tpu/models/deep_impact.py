@@ -107,19 +107,24 @@ class DeepImpact:
         encodings: Sequence[DocumentEncoding],
         max_terms: Optional[int] = None,
         materialize: bool = True,
+        pad_to: Optional[int] = None,
     ) -> Tuple[np.ndarray, List[List[str]]]:
         """Encode documents, returning ([B, T] term scores, per-doc term lists).
 
         Pads the batch to a bucket size to bound the number of compiled
         shapes.  ``materialize=False`` returns the scores as a device array
         (dispatch only, no host sync) so callers can pipeline batches.
+        ``pad_to`` pins the padded batch dimension outright — a streaming
+        caller that already runs at a fixed batch size passes it so the
+        trailing partial batch reuses the steady-state compiled shape
+        instead of compiling a fresh bucket (~30s through the axon relay).
         """
         if not encodings:
             return np.zeros((0, 0), dtype=np.float32), []
         if max_terms is None:
             max_terms = self.max_length
         n = len(encodings)
-        b = _bucket(n)
+        b = pad_to if pad_to is not None and pad_to >= n else _bucket(n)
         n_data = 1
         if self.mesh is not None:
             n_data = int(self.mesh.shape.get("data", self.mesh.devices.size))

@@ -55,6 +55,33 @@ def _bucket(n: int, base: int = 16) -> int:
     return b
 
 
+def expand_tail_chunks(starts, ends, rows, chunk):
+    """Vectorized per-term -> per-chunk table expansion.
+
+    ``starts``/``ends``: int64 posting ranges per tail term; ``rows``: the
+    query row each term belongs to.  Splits every range into windows of
+    ``chunk`` postings and returns (chunk_starts, chunk_lengths, chunk_rows)
+    as int32 arrays — the layout the tail-scatter kernels consume.  Replaces
+    a per-term/per-chunk Python loop (numpy repeat/arange arithmetic: ~50x
+    at 64 queries x 32 terms, benchmarks/host_prep_bench.py)."""
+    n_chunks = -(-(ends - starts) // chunk)
+    total = int(n_chunks.sum())
+    if total == 0:
+        e = np.empty(0, np.int32)
+        return e, e.copy(), e.copy()
+    firsts = np.zeros(len(starts) + 1, np.int64)
+    np.cumsum(n_chunks, out=firsts[1:])
+    term_of = np.repeat(np.arange(len(starts)), n_chunks)
+    within = np.arange(total, dtype=np.int64) - firsts[term_of]
+    cs = starts[term_of] + within * chunk
+    cl = np.minimum(chunk, ends[term_of] - cs)
+    return (
+        cs.astype(np.int32),
+        cl.astype(np.int32),
+        rows[term_of].astype(np.int32),
+    )
+
+
 _SCATTER_TILE = 1 << 16  # docs per tile: a [Q, TILE] fp32 window is VMEM-resident
 _SCATTER_WIN = 4096      # updates applied per on-tile pass
 # Flat-scatter cost grows with operand size (HBM RMW locality); the tiled
@@ -325,6 +352,9 @@ class HybridSearchEngine:
             order = np.argsort(lengths[heavy_tids])[::-1]
             heavy_tids = np.sort(heavy_tids[order[:max_rows]])
         self.heavy_row: Dict[int, int] = {int(t): i for i, t in enumerate(heavy_tids)}
+        # dense tid -> dense-row map for vectorized query prep (-1 = tail)
+        self.heavy_row_arr = np.full(len(lengths), -1, dtype=np.int32)
+        self.heavy_row_arr[heavy_tids] = np.arange(len(heavy_tids), dtype=np.int32)
         self.t_heavy = len(heavy_tids)
 
         doc_ids = np.asarray(index.doc_ids, dtype=np.int64)
@@ -424,29 +454,36 @@ class HybridSearchEngine:
         )
 
     def _tables(self, query_term_sets: Sequence[Set[str]]):
-        """Host-side prep: heavy one-hot W + tail chunk table."""
+        """Host-side prep: heavy one-hot W + tail chunk table.
+
+        Vectorized: the only Python-loop work left is one dict lookup per
+        query term; the per-term chunk expansion is numpy
+        (``expand_tail_chunks``), so host prep stays a few percent of batch
+        latency at serving batch sizes (benchmarks/host_prep_bench.py)."""
         nq = len(query_term_sets)
         w = np.zeros((nq, max(self.t_heavy, 1)), dtype=np.float32)
-        starts: List[int] = []
-        lengths: List[int] = []
-        rows: List[int] = []
+        qs: List[int] = []
+        tids: List[int] = []
+        get = self.vocab.get
         for q, terms in enumerate(query_term_sets):
             for term in terms:
-                tid = self.vocab.get(term)
-                if tid is None:
-                    continue
-                row = self.heavy_row.get(tid)
-                if row is not None:
-                    w[q, row] = 1.0
-                    continue
-                s = int(self.term_start[tid])
-                e = s + int(self.term_len[tid])
-                while s < e:
-                    starts.append(s)
-                    lengths.append(min(TAIL_CHUNK, e - s))
-                    rows.append(q)
-                    s += TAIL_CHUNK
-        return w, starts, lengths, rows
+                tid = get(term)
+                if tid is not None:
+                    qs.append(q)
+                    tids.append(tid)
+        empty = np.empty(0, np.int32)
+        if not tids:
+            return w, empty, empty, empty
+        q_arr = np.asarray(qs, dtype=np.int64)
+        tid_arr = np.asarray(tids, dtype=np.int64)
+        hrow = self.heavy_row_arr[tid_arr]
+        heavy = hrow >= 0
+        w[q_arr[heavy], hrow[heavy]] = 1.0
+        t_q, t_tid = q_arr[~heavy], tid_arr[~heavy]
+        starts = self.term_start[t_tid]
+        return w, *expand_tail_chunks(
+            starts, starts + self.term_len[t_tid], t_q, TAIL_CHUNK
+        )
 
     def score_batch_async(
         self,
@@ -476,9 +513,10 @@ class HybridSearchEngine:
             w = np.concatenate([w, np.zeros((nq_b - nq, w.shape[1]), w.dtype)])
         c = _bucket(max(len(starts), 1))
         pad = c - len(starts)
-        starts_a = np.asarray(starts + [0] * pad, dtype=np.int32)
-        lengths_a = np.asarray(lengths + [0] * pad, dtype=np.int32)
-        rows_a = np.asarray(rows + [0] * pad, dtype=np.int32)
+        zpad = np.zeros(pad, dtype=np.int32)
+        starts_a = np.concatenate([starts, zpad])
+        lengths_a = np.concatenate([lengths, zpad])
+        rows_a = np.concatenate([rows, zpad])
 
         packed = _score_and_topk(
             self.dense,

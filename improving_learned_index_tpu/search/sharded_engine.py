@@ -83,6 +83,8 @@ class ShardedSearchEngine:
         lengths = np.diff(offsets)
         heavy_tids = np.nonzero(lengths >= heavy_min)[0]
         self.heavy_row = {int(t): i for i, t in enumerate(heavy_tids)}
+        self.heavy_row_arr = np.full(len(lengths), -1, dtype=np.int32)
+        self.heavy_row_arr[heavy_tids] = np.arange(len(heavy_tids), dtype=np.int32)
         self.t_heavy = max(len(heavy_tids), 1)
 
         doc_ids = np.asarray(index.doc_ids, dtype=np.int64)
@@ -244,30 +246,45 @@ class ShardedSearchEngine:
         )
 
     def _tables(self, query_term_sets: Sequence[Set[str]]):
-        """W is shared; the tail chunk table is per shard (ranges differ)."""
+        """W is shared; the tail chunk table is per shard (ranges differ).
+        Vectorized like hybrid_engine._tables: one dict lookup per query
+        term, numpy chunk expansion per shard."""
+        from .hybrid_engine import expand_tail_chunks
+
         nq = len(query_term_sets)
         w = np.zeros((nq, self.t_heavy), dtype=np.float32)
-        per_shard: List[List[Tuple[int, int, int]]] = [[] for _ in range(self.n_shards)]
+        qs: List[int] = []
+        tids: List[int] = []
+        get = self.vocab.get
         for q, terms in enumerate(query_term_sets):
             for term in terms:
-                tid = self.vocab.get(term)
-                if tid is None:
-                    continue
-                row = self.heavy_row.get(tid)
-                if row is not None:
-                    w[q, row] = 1.0
-                    continue
-                for s in range(self.n_shards):
-                    offs = self.tail_offsets[s]
-                    a, e = int(offs[tid]), int(offs[tid + 1])
-                    while a < e:
-                        per_shard[s].append((a, min(TAIL_CHUNK, e - a), q))
-                        a += TAIL_CHUNK
-        c = _bucket(max(max((len(p) for p in per_shard), default=1), 1))
+                tid = get(term)
+                if tid is not None:
+                    qs.append(q)
+                    tids.append(tid)
+        if not tids:
+            return w, np.zeros((self.n_shards, 3, _bucket(1)), dtype=np.int32)
+        q_arr = np.asarray(qs, dtype=np.int64)
+        tid_arr = np.asarray(tids, dtype=np.int64)
+        hrow = self.heavy_row_arr[tid_arr]
+        heavy = hrow >= 0
+        w[q_arr[heavy], hrow[heavy]] = 1.0
+        t_q, t_tid = q_arr[~heavy], tid_arr[~heavy]
+        per_shard = [
+            expand_tail_chunks(
+                self.tail_offsets[s][t_tid],
+                self.tail_offsets[s][t_tid + 1],
+                t_q,
+                TAIL_CHUNK,
+            )
+            for s in range(self.n_shards)
+        ]
+        c = _bucket(max(max((len(p[0]) for p in per_shard), default=1), 1))
         table = np.zeros((self.n_shards, 3, c), dtype=np.int32)
-        for s, chunks in enumerate(per_shard):
-            for j, (a, ln, q) in enumerate(chunks):
-                table[s, 0, j], table[s, 1, j], table[s, 2, j] = a, ln, q
+        for s, (cs, cl, cr) in enumerate(per_shard):
+            table[s, 0, : len(cs)] = cs
+            table[s, 1, : len(cs)] = cl
+            table[s, 2, : len(cs)] = cr
         return w, table
 
     def score_batch_async(

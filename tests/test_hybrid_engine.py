@@ -290,3 +290,25 @@ def test_sparse_search_picks_hybrid_at_scale(monkeypatch):
         assert {k: round(v, 4) for k, v in res_small[qid].items()} == {
             k: round(v, 4) for k, v in res_big[qid].items()
         }
+
+
+def test_expand_tail_chunks_matches_loop():
+    """Vectorized chunk expansion == the straightforward per-term loop."""
+    from improving_learned_index_tpu.search.hybrid_engine import expand_tail_chunks
+
+    rng = np.random.default_rng(5)
+    for trial in range(20):
+        n = int(rng.integers(0, 30))
+        starts = rng.integers(0, 10_000, n).astype(np.int64)
+        lens = rng.integers(0, 2000, n).astype(np.int64)
+        rows = rng.integers(0, 8, n).astype(np.int64)
+        chunk = int(rng.choice([64, 512, 777]))
+        cs, cl, cr = expand_tail_chunks(starts, starts + lens, rows, chunk)
+        exp = []
+        for s, ln, q in zip(starts, lens, rows):
+            a, e = int(s), int(s + ln)
+            while a < e:
+                exp.append((a, min(chunk, e - a), int(q)))
+                a += chunk
+        got = list(zip(cs.tolist(), cl.tolist(), cr.tolist()))
+        assert got == exp, f"trial {trial}"
