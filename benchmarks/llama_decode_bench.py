@@ -36,12 +36,20 @@ from improving_learned_index_tpu.expand.sampling import Sampler
 from improving_learned_index_tpu.models.llama import LlamaConfig
 
 
-def device_int8_params(config: LlamaConfig, seed: int = 0):
-    """Random int8 param tree created on device, one jit per layer."""
+def device_quantized_params(config: LlamaConfig, precision: str = "int8", seed: int = 0):
+    """Random int8 / packed-int4 param tree created on device, one jit per
+    layer.  int4 leaves use models.quantization's {"q4", "s"} packed layout
+    (two nibbles per int8 along the contracted axis): the reference's
+    NF4 density (src/llama2/generate.py:37-45), half int8's HBM residency."""
     c = config
     hd = c.head_dim
 
     def qmat(key, shape):
+        if precision == "int4":
+            packed = (shape[0] // 2,) + shape[1:]
+            q4 = jax.random.randint(key, packed, -128, 128, dtype=jnp.int32).astype(jnp.int8)
+            s = jnp.full(shape[1:], 0.02 / np.sqrt(shape[0]), dtype=jnp.float32)
+            return {"q4": q4, "s": s}
         q = jax.random.randint(key, shape, -127, 128, dtype=jnp.int32).astype(jnp.int8)
         s = jnp.full(shape[1:], 0.02 / np.sqrt(shape[0]), dtype=jnp.float32)
         return {"q": q, "s": s}
@@ -95,6 +103,7 @@ def main():
     ap.add_argument("--prompt_len", type=int, default=64)
     ap.add_argument("--max_new", type=int, default=50)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--precision", choices=["int8", "int4"], default="int8")
     args = ap.parse_args()
 
     base = LlamaConfig.llama2_7b()
@@ -109,8 +118,8 @@ def main():
     print(f"geometry: {n_params/1e9:.2f}B params, {args.layers} layers", file=sys.stderr)
 
     t0 = time.time()
-    params = device_int8_params(config)
-    print(f"device int8 init: {time.time()-t0:.1f}s", file=sys.stderr)
+    params = device_quantized_params(config, precision=args.precision)
+    print(f"device {args.precision} init: {time.time()-t0:.1f}s", file=sys.stderr)
 
     gen = GenerationConfig(
         num_return_sequences=args.batch, max_new_tokens=args.max_new, top_k=50, top_p=0.95
@@ -140,6 +149,7 @@ def main():
         json.dumps(
             {
                 "geometry_params_b": round(n_params / 1e9, 2),
+                "precision": args.precision,
                 "batch": args.batch,
                 "prompt_len": args.prompt_len,
                 "max_new_tokens": args.max_new,

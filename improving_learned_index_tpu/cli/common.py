@@ -66,7 +66,27 @@ def build_tokenizer(args):
     )
 
 
+def enable_compilation_cache() -> None:
+    """Point jax at the repo-local on-disk compilation cache (remote TPU
+    compiles through the relay cost 30s-25min; a cache hit is free).  Safe
+    to call on any backend; a caller-set JAX_COMPILATION_CACHE_DIR wins."""
+    import os
+
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            str(Path(__file__).resolve().parent.parent.parent / ".jax_cache"),
+        )
+    except Exception:
+        pass
+
+
 def build_model(args):
+    enable_compilation_cache()
     tokenizer = build_tokenizer(args)
     cls, cfg_factory, activation = MODEL_KINDS[args.model_kind]
     if args.tiny:

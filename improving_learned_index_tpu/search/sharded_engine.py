@@ -92,8 +92,7 @@ class ShardedSearchEngine:
         shard_of = np.minimum(doc_ids // self.shard_docs, self.n_shards - 1)
 
         devices = mesh.devices.reshape(-1)
-        # dense heavy rows per shard: [T_h, shard_docs] with local doc ids
-        dense_shards, tail_shards = [], []
+        dense_shards = []
         is_heavy = np.zeros(len(lengths), dtype=bool)
         is_heavy[heavy_tids] = True
         term_of = np.repeat(np.arange(len(lengths)), lengths)
@@ -101,7 +100,24 @@ class ShardedSearchEngine:
         row_of_all = np.zeros(len(lengths), dtype=np.int64)
         row_of_all[heavy_tids] = np.arange(len(heavy_tids))
 
-        # tail CSR per shard: build per-shard (term-sorted) postings.
+        # Single-pass shard split: ONE stable radix argsort on the composite
+        # key (shard, heavy|tail, dense-row-or-term) orders every posting
+        # into per-shard heavy blocks (dense-row-sorted) and tail blocks
+        # (term-sorted) at once — O(P) + one sort, instead of the previous
+        # S boolean passes + S argsorts over the full posting arrays.
+        V = len(lengths)
+        M = max(V, self.t_heavy, 1)
+        row_or_term = np.where(heavy_mask, row_of_all[term_of], term_of)
+        key = (shard_of * 2 + (~heavy_mask)) * M + row_or_term
+        order = np.argsort(key, kind="stable")
+        s_docs = doc_ids[order]
+        s_vals = impacts[order]
+        s_key = key[order]
+        del order, key, row_or_term
+        block_bounds = np.searchsorted(
+            s_key, np.arange(2 * self.n_shards + 1, dtype=np.int64) * M
+        )
+
         # Dense heavy rows build ON each shard's device from its heavy
         # postings (hybrid_engine.build_dense_rows) — a host-built dense
         # matrix would cost t_heavy * shard_docs * 4 bytes of host RAM and
@@ -112,12 +128,12 @@ class ShardedSearchEngine:
         max_tail = 1
         tail_data = []
         for s in range(self.n_shards):
-            sel = heavy_mask & (shard_of == s)
-            hrows = row_of_all[term_of[sel]]
-            order = np.argsort(hrows, kind="stable")
-            h_docs = (doc_ids[sel] - self.doc_lo[s])[order].astype(np.int32)
-            h_vals = impacts[sel][order]
-            counts = np.bincount(hrows, minlength=self.t_heavy)
+            h0, h1 = block_bounds[2 * s], block_bounds[2 * s + 1]
+            h_docs = (s_docs[h0:h1] - self.doc_lo[s]).astype(np.int32)
+            h_vals = s_vals[h0:h1]
+            counts = np.bincount(
+                s_key[h0:h1] - (2 * s) * M, minlength=self.t_heavy
+            )
             heavy_starts = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
             if len(h_docs):
                 dense_s = build_dense_rows(
@@ -136,13 +152,11 @@ class ShardedSearchEngine:
                 )
             dense_shards.append(dense_s)
 
-            tsel = (~heavy_mask) & (shard_of == s)
-            t_term = term_of[tsel]
-            order = np.argsort(t_term, kind="stable")
-            t_docs = (doc_ids[tsel] - self.doc_lo[s])[order].astype(np.int32)
-            t_vals = impacts[tsel][order]
-            counts = np.bincount(t_term, minlength=len(lengths))
-            offs = np.zeros(len(lengths) + 1, dtype=np.int64)
+            t0, t1 = block_bounds[2 * s + 1], block_bounds[2 * s + 2]
+            t_docs = (s_docs[t0:t1] - self.doc_lo[s]).astype(np.int32)
+            t_vals = s_vals[t0:t1]
+            counts = np.bincount(s_key[t0:t1] - (2 * s + 1) * M, minlength=V)
+            offs = np.zeros(V + 1, dtype=np.int64)
             np.cumsum(counts, out=offs[1:])
             self.tail_offsets.append(offs)
             max_tail = max(max_tail, len(t_docs))
