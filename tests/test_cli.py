@@ -251,3 +251,37 @@ def test_cli_expand_int8(workspace, tmp_path):
     assert len(lines) == 2
     rec = json.loads(lines[0])
     assert rec["doc_id"] == "0" and len(rec["queries"]) == 2
+
+
+def test_cli_expand_precomputed(workspace, tmp_path):
+    """doc2query-- / TILDE precomputed-expansion CLI (reference
+    src/doc2query--/__main__.py and tilde_expansions CLI surface)."""
+    from improving_learned_index_tpu.cli import expand_precomputed as cli_pre
+
+    store = tmp_path / "store.jsonl"
+    store.write_text(
+        json.dumps({"doc_id": "0", "queries": [
+            {"query": "quick vulpine beast", "score": 0.9},
+            {"query": "irrelevant junk", "score": 0.1},
+        ]}) + "\n"
+    )
+    out = tmp_path / "expanded.tsv"
+    assert cli_pre.main([
+        "--vocab_path", str(workspace / "vocab.txt"),
+        "--collection_path", str(workspace / "collection.tsv"),
+        "--queries_path", str(store),
+        "--output_path", str(out),
+        "--threshold", "0.5",  # fraction form -> p50, like the reference
+    ]) == 0
+    lines = dict(l.split("\t", 1) for l in out.read_text().splitlines())
+    assert "vulpine" in lines["0"] and "junk" not in lines["0"]
+
+    out2 = tmp_path / "tilde.tsv"
+    assert cli_pre.main([
+        "--vocab_path", str(workspace / "vocab.txt"),
+        "--collection_path", str(workspace / "collection.tsv"),
+        "--queries_path", str(store),
+        "--output_path", str(out2),
+        "--style", "tilde",
+    ]) == 0
+    assert "junk" in out2.read_text()  # tilde appends terms, no score filter
