@@ -47,7 +47,10 @@ def device_quantized_params(config: LlamaConfig, precision: str = "int8", seed: 
     def qmat(key, shape):
         if precision == "int4":
             packed = (shape[0] // 2,) + shape[1:]
-            q4 = jax.random.randint(key, packed, -128, 128, dtype=jnp.int32).astype(jnp.int8)
+            k_lo, k_hi = jax.random.split(key)
+            lo = jax.random.randint(k_lo, packed, 0, 15, dtype=jnp.int32)
+            hi = jax.random.randint(k_hi, packed, 0, 15, dtype=jnp.int32)
+            q4 = (lo | (hi << 4)).astype(jnp.uint8)
             s = jnp.full(shape[1:], 0.02 / np.sqrt(shape[0]), dtype=jnp.float32)
             return {"q4": q4, "s": s}
         q = jax.random.randint(key, shape, -127, 128, dtype=jnp.int32).astype(jnp.int8)

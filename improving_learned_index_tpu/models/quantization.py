@@ -72,10 +72,21 @@ def quantize_params_int4(params: Any) -> Any:
             return {"q": q, "s": scale}
         amax = np.max(np.abs(leaf), axis=0)
         scale = np.where(amax > 0, amax / 7.0, 1.0).astype(np.float32)
-        q = np.clip(np.round(leaf / scale), -7, 7).astype(np.int8)
-        lo = q[0::2] & 0x0F
-        hi = (q[1::2] & 0x0F) << 4
-        return {"q4": (lo | hi).astype(np.int8), "s": scale}
+        # Biased nibbles (q+7 in [0, 14]) with SPLIT-HALF packing: low
+        # nibbles hold rows [0, K/2), high nibbles rows [K/2, K) of the
+        # contracted axis.  Both choices are for decode speed on the VPU:
+        # - split-half makes unpacking a CONCATENATE of two elementwise-
+        #   decoded chunks, which XLA splits the consuming dot across
+        #   (even/odd interleaving needs a stack+reshape shuffle XLA cannot
+        #   fuse — it materialized a bf16 weight copy per decode step and
+        #   ran 7B at 14 seqs/s vs 52 for int8);
+        # - biased-unsigned storage lets the decode run in bf16 float math
+        #   (widen, floor-divide, two fused multiply-subs) instead of int8
+        #   shift/sign-extend ops, which the TPU VPU executes ~1.4x slower
+        #   (530us -> 374us per 4096x11008 matmul, benchmarked).
+        q = (np.clip(np.round(leaf / scale), -7, 7) + 7).astype(np.uint8)
+        half = leaf.shape[0] // 2
+        return {"q4": (q[:half] | (q[half:] << 4)).astype(np.uint8), "s": scale}
 
     return jax.tree_util.tree_map_with_path(quant, params)
 
@@ -86,11 +97,17 @@ def _is_q4leaf(x) -> bool:
 
 def _unpack_int4(x, dtype):
     packed = x["q4"]
-    # sign-extend each nibble: shift left then arithmetic-shift right
-    lo = (packed.astype(jnp.int8) << 4) >> 4
-    hi = packed.astype(jnp.int8) >> 4
-    q = jnp.stack([lo, hi], axis=1).reshape((-1,) + packed.shape[1:])
-    return (q.astype(dtype) * jnp.asarray(x["s"], dtype)).astype(dtype)
+    s = jnp.asarray(x["s"], dtype)
+    # Float-math nibble decode of the biased split-half layout (see
+    # quantize_params_int4): all ops are bf16 VPU ops that fuse into the
+    # consuming dot's operand read; the concat splits that dot in two.
+    f = packed.astype(jnp.uint8).astype(dtype)
+    hi = jnp.floor(f * (1.0 / 16.0))  # high nibble, biased [0, 14]
+    lo = f - hi * 16.0                # low nibble, biased [0, 14]
+    return jnp.concatenate(
+        [((lo - 7.0) * s).astype(dtype), ((hi - 7.0) * s).astype(dtype)],
+        axis=0,
+    )
 
 
 def _is_qleaf(x) -> bool:
