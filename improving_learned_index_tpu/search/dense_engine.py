@@ -51,7 +51,14 @@ def _dense_scores(
     qvec = jnp.zeros((bsz, v_rows), dtype=impact_matrix.dtype)
     qvec = qvec.at[rows.reshape(-1), cols.reshape(-1)].max(1.0)
     qvec = qvec.at[:, v_rows - 1].set(0.0)  # pad row contributes nothing
-    scores = jnp.dot(qvec, impact_matrix, preferred_element_type=jnp.float32)
+    # HIGHEST: TPU's default matmul precision truncates fp32 operands to
+    # bf16 on the MXU, breaking exact-score parity with the host engine.
+    scores = jnp.dot(
+        qvec,
+        impact_matrix,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return scores[:, :num_docs]
     # top-k happens on the host: measured on v5e-1, lax.top_k(k=1000) over a
     # [1024, 5120] matrix costs ~1s while fetching the dense scores and

@@ -268,11 +268,17 @@ def _score_and_topk(
     q = w.shape[0]
     n_pad = dense.shape[1]
     if use_dense:
+        # precision=HIGHEST: on TPU the default matmul precision truncates
+        # fp32 operands to bf16 on the MXU (measured: a dense cell of 257.0
+        # scores as 256.0), silently breaking the exact-score contract
+        # whenever the dense matrix is fp32 — the duplicate-posting rebuild
+        # and the float-impact mode.  For bf16 operands it is a no-op.
         scores = jax.lax.dot_general(
             w.astype(dense.dtype),
             dense,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
     else:
         scores = jnp.zeros((q, n_pad), dtype=jnp.float32)

@@ -4,12 +4,9 @@ The repo ships several query engines with different scaling sweet spots
 (measured on v5e-1, benchmarks/BENCHMARKS.md):
 
 - ``device`` (search.device_engine): flat [Q, num_docs] scatter accumulator.
-  Wins at eval-scale corpora (NanoBEIR in-training eval, float impacts) where
-  the whole accumulator is small — 2149 q/s at 4k docs.
+  Simple and compile-cheap; competitive only at eval-scale corpora.
 - ``hybrid`` (search.hybrid_engine): dense heavy-term matmul + chunked tail
-  scatter + exact integer top-k.  Wins at corpus scale — 916 q/s exact at 1M
-  docs where the device engine's flat scatter drops to ~4x slower, 431 q/s at
-  MSMARCO scale (8.8M docs).
+  scatter + exact integer top-k, with pipelined batches.
 
 ``choose_engine`` picks per corpus size so the measured-best path is the
 default (the reference has one engine — the per-query Python loop,
@@ -19,15 +16,25 @@ new surface; this keeps it zero-config).
 
 from __future__ import annotations
 
-# Measured endpoints: device wins at <= ~10^4 docs, hybrid wins at >= 10^6
-# (4x at 1M).  The crossover was swept on v5e-1 (benchmarks/BENCHMARKS.md
-# "engine crossover"): at 100k docs the hybrid engine already matches or
-# beats the flat scatter, and its memory footprint scales with postings
-# rather than Q * num_docs — so the boundary sits at 100k.
+# Quantized (integer-score) disk indexes — the rank CLI path.  The full
+# device-vs-hybrid sweep (benchmarks/crossover_bench.py, CROSSOVER.json,
+# 64-query batches / 8 terms / k=1000 exact) measured the hybrid engine
+# ahead at EVERY size down to 4k docs (772 vs 561 q/s at 4k; 787 vs 281 at
+# 100k; 730 vs 52 at 1M), so the boundary sits at the smallest measured
+# point rather than 0: below it the sweep has no data and the flat-scatter
+# engine's one-shape compile is cheaper.
+HYBRID_MIN_DOCS_QUANTIZED = 4_000
+
+# Float-impact in-memory corpora (SparseSearch / NanoBEIR in-training eval):
+# hybrid must run float-exact mode (fp32 dense rows + sort-based top_k —
+# exact_topk_integer needs the integer score lattice), which is unmeasured
+# below this scale; the flat device engine is the measured eval-scale
+# default (NANO_BEIR_10K.json runs it at 10k docs).
 HYBRID_MIN_DOCS = 100_000
 
 
-def choose_engine(num_docs: int) -> str:
+def choose_engine(num_docs: int, integer_scores: bool = True) -> str:
     """Return the engine name ("device" | "hybrid") measured fastest for a
-    corpus of ``num_docs`` documents."""
-    return "hybrid" if num_docs >= HYBRID_MIN_DOCS else "device"
+    corpus of ``num_docs`` documents with the given score lattice."""
+    bound = HYBRID_MIN_DOCS_QUANTIZED if integer_scores else HYBRID_MIN_DOCS
+    return "hybrid" if num_docs >= bound else "device"

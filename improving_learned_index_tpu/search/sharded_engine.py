@@ -195,11 +195,14 @@ class ShardedSearchEngine:
         def score(dense, w, tail_docs, tail_vals, tail_table, doc_lo, k_local, k_final):
             def local(dense_s, tail_docs_s, tail_vals_s, tail_table_s, doc_lo_s):
                 # dense_s: [1, T_h, shard_docs]; tail_table_s: [1, 3, C]
+                # HIGHEST: TPU's default precision truncates fp32 operands
+                # to bf16 (loses 1 from a 257 cell); no-op for bf16 dense.
                 scores = jax.lax.dot_general(
                     w.astype(dense_s.dtype),
                     dense_s[0],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
                 starts, lens, rows = (
                     tail_table_s[0, 0],

@@ -203,6 +203,37 @@ def test_hybrid_duplicate_postings_past_bf16_range():
     assert dict(hybrid.score_batch([{"a"}], 2)[0]) == {0: 400.0, 1: 3.0}
 
 
+def test_scoring_matmuls_pin_highest_precision():
+    """The fp32 dense path is only exact on TPU with precision=HIGHEST: the
+    default matmul precision truncates fp32 operands to bf16 on the MXU
+    (measured on v5e: a 257.0 dense cell scores as 256.0, an off-by-one the
+    CPU test backend cannot reproduce).  Pin the precision in the lowered
+    jaxprs of every scoring matmul so a regression is caught on CPU."""
+    import improving_learned_index_tpu.search.dense_engine as de
+    import improving_learned_index_tpu.search.hybrid_engine as he
+
+    rng = np.random.default_rng(1)
+    index = _random_index(rng, num_docs=300, vocab_size=30, postings=3000)
+    eng = HybridSearchEngine(index, heavy_min=48)
+    w, starts, lengths, rows = eng._tables([{"t1", "t2"}])
+    import jax
+    import jax.numpy as jnp
+
+    jaxpr = jax.make_jaxpr(
+        lambda *a: he._score_and_topk(*a, 300, 10, True, True, False, True)
+    )(
+        eng.dense, jnp.asarray(w.astype(jnp.bfloat16)), eng.doc_ids, eng.impacts,
+        jnp.asarray(starts), jnp.asarray(lengths), jnp.asarray(rows),
+    )
+    assert "HIGHEST" in str(jaxpr)
+
+    mat = jnp.zeros((5, 8), jnp.float32)
+    jaxpr2 = jax.make_jaxpr(lambda m, t, v: de._dense_scores(m, t, v, 8))(
+        mat, jnp.zeros((2, 3), jnp.int32), jnp.ones((2, 3), bool)
+    )
+    assert "HIGHEST" in str(jaxpr2)
+
+
 def test_hybrid_stream_pipelined():
     rng = np.random.default_rng(9)
     index = _random_index(rng, num_docs=300, vocab_size=30, postings=3000)
@@ -246,13 +277,20 @@ def test_hybrid_float_exact_matches_device():
 def test_choose_engine_thresholds():
     from improving_learned_index_tpu.search.select import (
         HYBRID_MIN_DOCS,
+        HYBRID_MIN_DOCS_QUANTIZED,
         choose_engine,
     )
 
+    # quantized (integer-score) indexes: hybrid from the smallest measured
+    # sweep point (CROSSOVER.json: hybrid wins 772 vs 561 q/s at 4k docs)
     assert choose_engine(100) == "device"
-    assert choose_engine(HYBRID_MIN_DOCS - 1) == "device"
-    assert choose_engine(HYBRID_MIN_DOCS) == "hybrid"
+    assert choose_engine(HYBRID_MIN_DOCS_QUANTIZED - 1) == "device"
+    assert choose_engine(HYBRID_MIN_DOCS_QUANTIZED) == "hybrid"
     assert choose_engine(10**7) == "hybrid"
+    # float-impact corpora (SparseSearch) keep the eval-scale device default
+    assert choose_engine(10_000, integer_scores=False) == "device"
+    assert choose_engine(HYBRID_MIN_DOCS - 1, integer_scores=False) == "device"
+    assert choose_engine(HYBRID_MIN_DOCS, integer_scores=False) == "hybrid"
 
 
 def test_sparse_search_picks_hybrid_at_scale(monkeypatch):
