@@ -4,7 +4,7 @@ single-core C++ engine (505 q/s).
 
 Engines (pick with --engines, comma separated):
     hybrid         HybridSearchEngine, exact integer top-k   (TPU)
-    hybrid_xla     same engine, Pallas kernels disabled      (TPU, A/B control)
+    hybrid_pallas  same engine, opt-in Pallas kernels        (TPU, A/B)
     hybrid_approx  HybridSearchEngine, approx_max_k          (TPU)
     device         round-1 DeviceSearchEngine scatter path   (TPU)
     native         C++ engine over the on-disk index         (host, 1 core)
@@ -148,7 +148,7 @@ def main():
     for name in engines:
         if name in (
             "hybrid", "hybrid_approx", "hybrid_pipelined",
-            "hybrid_xla", "hybrid_xla_pipelined",  # force the XLA fallback paths (A/B)
+            "hybrid_pallas", "hybrid_pallas_pipelined",  # opt-in Pallas kernels (A/B)
         ):
             from improving_learned_index_tpu.core.config import SearchConfig
             from improving_learned_index_tpu.search.hybrid_engine import HybridSearchEngine
@@ -158,9 +158,8 @@ def main():
             eng = HybridSearchEngine(
                 index, config=cfg, heavy_min=1024,
                 dense_budget_bytes=int(args.dense_budget_gb * (1 << 30)),
+                use_pallas=name.startswith("hybrid_pallas"),
             )
-            if name.startswith("hybrid_xla"):
-                eng._pallas = False
             print(
                 f"{name}: init {time.time()-t0:.1f}s, {eng.t_heavy} dense rows"
                 f" (pallas={eng._pallas})",

@@ -87,8 +87,14 @@ _SCATTER_WIN = 4096      # updates applied per on-tile pass
 # Flat-scatter cost grows with operand size (HBM RMW locality); the tiled
 # path pays a fixed sort + tile-loop overhead.  Measured crossover on v5e-1:
 # 1M docs flat wins (797 vs 607 q/s pipelined), 8.8M docs tiled wins
-# (312 vs 203 q/s).
+# (312 vs 203 q/s).  With use_pallas=True (opt-in) the Pallas kernels
+# below replace both on TPU for integer-score indexes.
 _TILED_MIN_DOCS = 4 << 20
+# From this corpus size n_pad is tile-aligned (<= 12.5% pad) so the Pallas
+# gather/scatter kernels can apply; measured 2.3x on the tail scatter and
+# ~4x on the heavy stage at 1M docs / 44M postings (ops/scatter_scores.py,
+# ops/gather_rows.py docstrings).
+_PALLAS_MIN_DOCS = 1 << 19
 
 
 def _apply_tail_tiled(scores, d, v, r, valid):
@@ -249,6 +255,89 @@ def build_dense_rows(
     return dense
 
 
+def _finish_topk(scores, num_docs: int, top_k: int, approx: bool, integer_scores: bool):
+    scores = scores[:, :num_docs]
+    k = min(top_k, num_docs)
+    if approx:
+        vals, idx = jax.lax.approx_max_k(scores, k, recall_target=0.99)
+        idx = idx.astype(jnp.int32)
+    elif integer_scores:
+        vals, idx = exact_topk_integer(scores, k)
+    else:
+        # float impacts (e.g. SparseSearch's unquantized in-memory index):
+        # the n-ary threshold search needs an integer score lattice, so fall
+        # back to the exact sort-based top_k
+        vals, idx = jax.lax.top_k(scores, k)
+        idx = idx.astype(jnp.int32)
+    # Pack (scores, indices) into one int32 array: a single host fetch per
+    # batch (the axon relay charges ~30ms latency per transfer).
+    return jnp.stack([jax.lax.bitcast_convert_type(vals, jnp.int32), idx], axis=1)
+
+
+def _gather_tail(doc_ids, impacts, starts, lengths, rows):
+    """Expand the chunk table into flat (doc, value, row) update arrays."""
+    offs = jnp.arange(TAIL_CHUNK, dtype=jnp.int32)[None, :]
+    pos = starts[:, None] + offs
+    valid = offs < lengths[:, None]
+    pos = jnp.where(valid, pos, 0)
+    d = jnp.take(doc_ids, pos, axis=0)
+    v = jnp.where(valid, jnp.take(impacts, pos, axis=0), 0.0)
+    r = jnp.broadcast_to(rows[:, None], d.shape)
+    return d.reshape(-1), v.reshape(-1), r.reshape(-1), valid.reshape(-1)
+
+
+@partial(jax.jit, static_argnums=(10, 11, 12, 13, 14, 15, 16))
+def _score_and_topk_pallas(
+    dense: jnp.ndarray,      # [T_h, N_pad] dense heavy rows
+    w: jnp.ndarray,          # [Q, T_h] bf16 one-hot (dense_impl == "matmul")
+    ids: jnp.ndarray,        # [H_b] int32 unique hit dense rows
+    pairs: jnp.ndarray,      # [P_b, 2] int32 (query row, ids slot)
+    counts: jnp.ndarray,     # [2] int32 (n hit rows, n pairs)
+    doc_ids: jnp.ndarray,
+    impacts: jnp.ndarray,
+    starts: jnp.ndarray,
+    lengths: jnp.ndarray,
+    rows: jnp.ndarray,
+    nq: int,
+    num_docs: int,
+    top_k: int,
+    dense_impl: str,         # "gather" | "matmul" | "none"
+    tail_impl: str,          # "pallas" | "none"
+    approx: bool,
+    interpret: bool = False,
+):
+    """TPU scoring path: Pallas hit-row gather + Pallas tail scatter.
+
+    Used when the index is quantized (integer scores), n_pad is
+    65536-aligned, and the batch fits the kernels' VMEM gates; exact
+    by construction (integer lattice in bf16/fp32).  ``interpret`` runs
+    the kernels through the Pallas interpreter so CPU tests can cover
+    this whole path (dispatch logic included), not just the kernels.
+    """
+    from ..ops.gather_rows import accumulate_rows
+    from ..ops.scatter_scores import apply_tail_updates
+
+    n_pad = dense.shape[1]
+    if dense_impl == "gather":
+        scores = accumulate_rows(dense, ids, pairs, counts, nq, interpret=interpret)
+    elif dense_impl == "matmul":
+        scores = jax.lax.dot_general(
+            w.astype(dense.dtype),
+            dense,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    else:
+        scores = jnp.zeros((nq, n_pad), dtype=jnp.float32)
+
+    if tail_impl == "pallas":
+        d, v, r, _ = _gather_tail(doc_ids, impacts, starts, lengths, rows)
+        scores = apply_tail_updates(scores, d, v, r, interpret=interpret)
+
+    return _finish_topk(scores, num_docs, top_k, approx, True)
+
+
 @partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12))
 def _score_and_topk(
     dense: jnp.ndarray,      # [T_h, N_pad] bf16 dense heavy rows
@@ -284,39 +373,15 @@ def _score_and_topk(
         scores = jnp.zeros((q, n_pad), dtype=jnp.float32)
 
     if use_tail:
-        offs = jnp.arange(TAIL_CHUNK, dtype=jnp.int32)[None, :]
-        pos = starts[:, None] + offs
-        valid = offs < lengths[:, None]
-        pos = jnp.where(valid, pos, 0)
-        d = jnp.take(doc_ids, pos, axis=0)
-        v = jnp.take(impacts, pos, axis=0)
-        v = jnp.where(valid, v, 0.0)
-        r = jnp.broadcast_to(rows[:, None], d.shape)
+        d, v, r, valid = _gather_tail(doc_ids, impacts, starts, lengths, rows)
         if n_pad >= _TILED_MIN_DOCS and n_pad % _SCATTER_TILE == 0:
-            scores = _apply_tail_tiled(
-                scores, d.reshape(-1), v.reshape(-1), r.reshape(-1), valid.reshape(-1)
-            )
+            scores = _apply_tail_tiled(scores, d, v, r, valid)
         else:
             # small corpora: the whole scores operand is VMEM-resident, the
             # flat scatter is already on-chip
-            scores = scores.at[r.reshape(-1), d.reshape(-1)].add(v.reshape(-1))
+            scores = scores.at[r, d].add(v)
 
-    scores = scores[:, :num_docs]
-    k = min(top_k, num_docs)
-    if approx:
-        vals, idx = jax.lax.approx_max_k(scores, k, recall_target=0.99)
-        idx = idx.astype(jnp.int32)
-    elif integer_scores:
-        vals, idx = exact_topk_integer(scores, k)
-    else:
-        # float impacts (e.g. SparseSearch's unquantized in-memory index):
-        # the n-ary threshold search needs an integer score lattice, so fall
-        # back to the exact sort-based top_k
-        vals, idx = jax.lax.top_k(scores, k)
-        idx = idx.astype(jnp.int32)
-    # Pack (scores, indices) into one int32 array: a single host fetch per
-    # batch (the axon relay charges ~30ms latency per transfer).
-    return jnp.stack([jax.lax.bitcast_convert_type(vals, jnp.int32), idx], axis=1)
+    return _finish_topk(scores, num_docs, top_k, approx, integer_scores)
 
 
 class HybridSearchEngine:
@@ -329,6 +394,7 @@ class HybridSearchEngine:
         heavy_min: int = 1024,
         dense_budget_bytes: int = 4 << 30,
         integer_scores: bool = True,
+        use_pallas: Optional[bool] = None,
     ):
         self.config = config
         # True for quantized indexes (scores are exact small-integer sums:
@@ -338,15 +404,32 @@ class HybridSearchEngine:
         self.integer_scores = integer_scores
         self.vocab: Dict[str, int] = index.term_to_id
         self.num_docs = max(int(index.num_docs), 1)
-        if self.num_docs >= _TILED_MIN_DOCS:
-            # tile-aligned so the tail scatter can work on VMEM-resident
-            # [Q, _SCATTER_TILE] windows (see _apply_tail_tiled); below the
-            # tiled-path threshold the flat scatter runs, which only needs
-            # 128-lane alignment — full tile alignment there would waste up
-            # to ~2x dense-matrix HBM (65537 docs would pad to 131072)
+        if self.num_docs >= _PALLAS_MIN_DOCS:
+            # tile-aligned (<= 12.5% pad at this size) so the Pallas
+            # gather/scatter kernels — and the XLA tiled scatter above
+            # _TILED_MIN_DOCS — can work on whole [Q, 65536] tiles; below
+            # this the flat scatter runs, which only needs 128-lane
+            # alignment (full tile alignment there would waste up to ~2x
+            # dense-matrix HBM: 65537 docs would pad to 131072)
             self.n_pad = -(-self.num_docs // _SCATTER_TILE) * _SCATTER_TILE
         else:
             self.n_pad = ((self.num_docs + 127) // 128) * 128
+        # Pallas kernels need a real TPU backend (CPU tests keep the XLA
+        # paths), the integer impact lattice (bf16 one-hot exactness), and
+        # tile-aligned padding.  OPT-IN for now (use_pallas=True): the
+        # kernels are exact on TPU and interpret-tested on CPU, but a
+        # sporadic runtime failure seen once during a relay outage is not
+        # yet ruled out as a kernel issue — the serving default stays the
+        # measured XLA path until a 40-batch TPU stress run is clean.
+        # Tests flip _pallas on with _pallas_interpret so the dispatch
+        # path runs through the Pallas interpreter on CPU.
+        pallas_ok = (
+            integer_scores
+            and self.n_pad % _SCATTER_TILE == 0
+            and jax.default_backend() == "tpu"
+        )
+        self._pallas = bool(use_pallas) and pallas_ok
+        self._pallas_interpret = False
         self.offsets = np.asarray(index.offsets, dtype=np.int64)
         lengths = np.diff(self.offsets)
 
@@ -479,16 +562,21 @@ class HybridSearchEngine:
                     tids.append(tid)
         empty = np.empty(0, np.int32)
         if not tids:
-            return w, empty, empty, empty
+            return w, empty, empty.copy(), empty.copy(), empty.copy(), empty.copy()
         q_arr = np.asarray(qs, dtype=np.int64)
         tid_arr = np.asarray(tids, dtype=np.int64)
         hrow = self.heavy_row_arr[tid_arr]
         heavy = hrow >= 0
-        w[q_arr[heavy], hrow[heavy]] = 1.0
+        heavy_q = q_arr[heavy].astype(np.int32)
+        heavy_rows = hrow[heavy]
+        w[heavy_q, heavy_rows] = 1.0
         t_q, t_tid = q_arr[~heavy], tid_arr[~heavy]
         starts = self.term_start[t_tid]
-        return w, *expand_tail_chunks(
-            starts, starts + self.term_len[t_tid], t_q, TAIL_CHUNK
+        return (
+            w,
+            *expand_tail_chunks(starts, starts + self.term_len[t_tid], t_q, TAIL_CHUNK),
+            heavy_q,
+            heavy_rows,
         )
 
     def score_batch_async(
@@ -507,8 +595,16 @@ class HybridSearchEngine:
         nq = len(query_term_sets)
         if nq == 0:
             return lambda: []
+        if self._pallas and nq > 64:
+            # the Pallas kernels' VMEM gate is 64 queries per dispatch;
+            # larger batches become pipelined 64-query sub-dispatches
+            subs = [
+                self.score_batch_async(query_term_sets[i : i + 64], top_k)
+                for i in range(0, nq, 64)
+            ]
+            return lambda: [row for fin in subs for row in fin()]
         k = min(top_k, self.num_docs)
-        w, starts, lengths, rows = self._tables(query_term_sets)
+        w, starts, lengths, rows, heavy_q, heavy_rows = self._tables(query_term_sets)
         use_dense = bool(w.any())
         use_tail = len(starts) > 0
         if not use_dense and not use_tail:
@@ -524,21 +620,66 @@ class HybridSearchEngine:
         lengths_a = np.concatenate([lengths, zpad])
         rows_a = np.concatenate([rows, zpad])
 
-        packed = _score_and_topk(
-            self.dense,
-            jnp.asarray(w.astype(jnp.bfloat16)),
-            self.doc_ids,
-            self.impacts,
-            jnp.asarray(starts_a),
-            jnp.asarray(lengths_a),
-            jnp.asarray(rows_a),
-            self.num_docs,
-            k,
-            use_dense,
-            use_tail,
-            self.config.approx_top_k,
-            self.integer_scores,
-        )
+        if self._pallas and nq_b <= 64:
+            from ..ops.gather_rows import can_use_pallas_gather
+
+            uniq, inv = np.unique(heavy_rows, return_inverse=True)
+            if (
+                use_dense
+                and self.dense.dtype == jnp.bfloat16
+                and can_use_pallas_gather(self.n_pad, nq_b, len(uniq))
+            ):
+                dense_impl = "gather"
+                h_b = _bucket(len(uniq), base=64)
+                ids_a = np.zeros(h_b, np.int32)
+                ids_a[: len(uniq)] = uniq
+                p_b = _bucket(len(heavy_q), base=64)
+                pairs_a = np.zeros((p_b, 2), np.int32)
+                pairs_a[: len(heavy_q), 0] = heavy_q
+                pairs_a[: len(heavy_q), 1] = inv
+                counts = np.array([len(uniq), len(heavy_q)], np.int32)
+            else:
+                # fp32 dense (duplicate-posting fallback) or too many hit
+                # rows for the row buffer: stream the whole dense matrix
+                dense_impl = "matmul" if use_dense else "none"
+                ids_a = np.zeros(1, np.int32)
+                pairs_a = np.zeros((1, 2), np.int32)
+                counts = np.zeros(2, np.int32)
+            packed = _score_and_topk_pallas(
+                self.dense,
+                jnp.asarray(w.astype(jnp.bfloat16)),
+                jnp.asarray(ids_a),
+                jnp.asarray(pairs_a),
+                jnp.asarray(counts),
+                self.doc_ids,
+                self.impacts,
+                jnp.asarray(starts_a),
+                jnp.asarray(lengths_a),
+                jnp.asarray(rows_a),
+                nq_b,
+                self.num_docs,
+                k,
+                dense_impl,
+                "pallas" if use_tail else "none",
+                self.config.approx_top_k,
+                self._pallas_interpret,
+            )
+        else:
+            packed = _score_and_topk(
+                self.dense,
+                jnp.asarray(w.astype(jnp.bfloat16)),
+                self.doc_ids,
+                self.impacts,
+                jnp.asarray(starts_a),
+                jnp.asarray(lengths_a),
+                jnp.asarray(rows_a),
+                self.num_docs,
+                k,
+                use_dense,
+                use_tail,
+                self.config.approx_top_k,
+                self.integer_scores,
+            )
 
         def finalize() -> List[List[Tuple[int, float]]]:
             host = np.asarray(packed)  # one transfer: [nq_b, 2, k] int32

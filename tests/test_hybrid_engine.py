@@ -166,6 +166,7 @@ def test_hybrid_tiled_tail_scatter_large_corpus(monkeypatch):
     from improving_learned_index_tpu.search.hybrid_engine import _SCATTER_TILE
 
     monkeypatch.setattr(hybrid_engine, "_TILED_MIN_DOCS", _SCATTER_TILE + 1)
+    monkeypatch.setattr(hybrid_engine, "_PALLAS_MIN_DOCS", _SCATTER_TILE + 1)
     num_docs = _SCATTER_TILE + 5000  # 2 tiles
     rng = np.random.default_rng(11)
     per_doc = {}
@@ -215,7 +216,7 @@ def test_scoring_matmuls_pin_highest_precision():
     rng = np.random.default_rng(1)
     index = _random_index(rng, num_docs=300, vocab_size=30, postings=3000)
     eng = HybridSearchEngine(index, heavy_min=48)
-    w, starts, lengths, rows = eng._tables([{"t1", "t2"}])
+    w, starts, lengths, rows, _, _ = eng._tables([{"t1", "t2"}])
     import jax
     import jax.numpy as jnp
 
