@@ -195,7 +195,36 @@ def measure_queries():
     return qps, qps / base
 
 
+def _relay_reachable() -> bool:
+    """Fail fast if the axon TPU relay daemon is down (nothing listening on
+    its first port): jax.devices() would otherwise hang forever and the
+    round's bench window would be spent blocked, not failing cleanly."""
+    import os
+    import socket
+
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return True  # not an axon environment; let jax pick its backend
+    try:
+        with socket.create_connection(("127.0.0.1", 8082), timeout=5):
+            return True
+    except OSError:
+        return False
+
+
 def main():
+    if not _relay_reachable():
+        print(
+            json.dumps(
+                {
+                    "metric": "docs_encoded_per_s",
+                    "value": None,
+                    "unit": "docs/s",
+                    "vs_baseline": None,
+                    "error": "axon TPU relay daemon down (port 8082 unreachable); bench needs the TPU",
+                }
+            )
+        )
+        sys.exit(1)
     docs_per_s = measure_encode()
     try:
         base = encode_baseline()
