@@ -99,6 +99,59 @@ def test_accumulate_rows_matches_onehot_matmul():
     np.testing.assert_array_equal(np.asarray(out), ref)
 
 
+def test_apply_tail_updates_all_padding_is_noop():
+    nq, n_pad = 8, TILE
+    scores0 = np.arange(nq * n_pad, dtype=np.float32).reshape(nq, n_pad) % 7
+    out = apply_tail_updates(
+        jnp.asarray(scores0),
+        jnp.zeros(PAGE, jnp.int32),
+        jnp.zeros(PAGE, jnp.float32),  # v == 0 everywhere -> pure padding
+        jnp.zeros(PAGE, jnp.int32),
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out), scores0)
+
+
+def test_apply_tail_updates_last_tile_and_straddle():
+    """Updates concentrated in the final tile, with one page straddling the
+    tile boundary, must land exactly once."""
+    nq, n_pad = 4, 3 * TILE
+    e = 2 * PAGE
+    rng = np.random.default_rng(4)
+    # half the updates just below the 2nd/3rd tile edge, half just above
+    d = np.concatenate(
+        [
+            rng.integers(2 * TILE - 64, 2 * TILE, e // 2),
+            rng.integers(2 * TILE, 2 * TILE + 64, e // 2),
+        ]
+    ).astype(np.int32)
+    v = rng.integers(1, 256, e).astype(np.float32)
+    r = rng.integers(0, nq, e).astype(np.int32)
+    out = apply_tail_updates(
+        jnp.zeros((nq, n_pad), jnp.float32),
+        jnp.asarray(d),
+        jnp.asarray(v),
+        jnp.asarray(r),
+        interpret=True,
+    )
+    ref = np.zeros((nq, n_pad), np.float32)
+    np.add.at(ref, (r, d), v)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_accumulate_rows_zero_counts():
+    dense = jnp.ones((4, TILE), jnp.bfloat16)
+    out = accumulate_rows(
+        dense,
+        jnp.zeros(64, jnp.int32),
+        jnp.zeros((64, 2), jnp.int32),
+        jnp.zeros(2, jnp.int32),  # no hit rows, no pairs
+        8,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.zeros((8, TILE), np.float32))
+
+
 def test_vmem_gates():
     assert can_use_pallas_tail(TILE, 64)
     assert not can_use_pallas_tail(TILE + 128, 64)
