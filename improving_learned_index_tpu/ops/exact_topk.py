@@ -41,10 +41,15 @@ docs pad with (score 0, doc 0) entries, which callers filter.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+# Opt-in Pallas threshold-count kernel for the search passes (ops/count_ge.py)
+# — unmeasured on hardware; see its docstring.
+_PALLAS_COUNT = os.environ.get("ILI_TOPK_PALLAS") == "1"
 
 _ARITY = 8  # thresholds probed per search pass.  Swept on v5e-1 at
 # [32, 8.8M] k=1000: arity 16 = 110.7ms, 8 = 96.0ms, 4 = 96.7ms, 2 =
@@ -77,13 +82,22 @@ def exact_topk_integer(scores: jnp.ndarray, k: int):
         lo, hi = lh
         return jnp.any(lo < hi)
 
+    use_pallas_count = (
+        _PALLAS_COUNT and jax.default_backend() == "tpu" and n % (1 << 14) == 0
+    )
+
     def search_body(lh):
         lo, hi = lh
         width = hi - lo + 1.0
-        t = jnp.minimum(lo + jnp.ceil(frac[None, :] * width), hi)  # [Q, 15]
-        counts = jnp.sum(
-            (scores[:, :, None] >= t[:, None, :]).astype(jnp.int32), axis=1
-        )  # [Q, 15]; XLA fuses the broadcast-compare into the reduce
+        t = jnp.minimum(lo + jnp.ceil(frac[None, :] * width), hi)  # [Q, A-1]
+        if use_pallas_count:
+            from .count_ge import count_ge
+
+            counts = count_ge(scores, t)
+        else:
+            counts = jnp.sum(
+                (scores[:, :, None] >= t[:, None, :]).astype(jnp.int32), axis=1
+            )  # [Q, A-1]; XLA fuses the broadcast-compare into the reduce
         ok = counts >= k  # monotone non-increasing along the threshold axis
         new_lo = jnp.max(jnp.where(ok, t, lo), axis=1, keepdims=True)
         new_hi = jnp.minimum(

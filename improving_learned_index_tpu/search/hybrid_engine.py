@@ -256,14 +256,17 @@ def build_dense_rows(
 
 
 def _finish_topk(scores, num_docs: int, top_k: int, approx: bool, integer_scores: bool):
-    scores = scores[:, :num_docs]
     k = min(top_k, num_docs)
     if approx:
-        vals, idx = jax.lax.approx_max_k(scores, k, recall_target=0.99)
+        vals, idx = jax.lax.approx_max_k(scores[:, :num_docs], k, recall_target=0.99)
         idx = idx.astype(jnp.int32)
     elif integer_scores:
+        # keep the tile-padded width: padded columns score 0 and zero is
+        # never selected (s_k >= 1), while the aligned width lets the
+        # Pallas threshold-count kernel stream whole tiles
         vals, idx = exact_topk_integer(scores, k)
     else:
+        scores = scores[:, :num_docs]
         # float impacts (e.g. SparseSearch's unquantized in-memory index):
         # the n-ary threshold search needs an integer score lattice, so fall
         # back to the exact sort-based top_k

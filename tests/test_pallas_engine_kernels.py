@@ -152,6 +152,35 @@ def test_accumulate_rows_zero_counts():
     np.testing.assert_array_equal(np.asarray(out), np.zeros((8, TILE), np.float32))
 
 
+def test_count_ge_matches_numpy():
+    from improving_learned_index_tpu.ops.count_ge import _TILE, count_ge
+
+    rng = np.random.default_rng(2)
+    q, n = 8, 2 * _TILE
+    scores = rng.integers(0, 2000, (q, n)).astype(np.float32)
+    t = rng.integers(1, 2000, (q, 7)).astype(np.float32)
+    got = count_ge(jnp.asarray(scores), jnp.asarray(t), interpret=True)
+    ref = (scores[:, :, None] >= t[:, None, :]).sum(axis=1)
+    np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_exact_topk_padded_width_matches_sliced():
+    """Zero-padded columns must never change exact top-k results (the
+    engine now keeps the tile-padded width through the integer path)."""
+    from improving_learned_index_tpu.ops.exact_topk import exact_topk_integer
+
+    rng = np.random.default_rng(6)
+    q, n, pad = 4, 3000, 1096
+    scores = np.zeros((q, n + pad), np.float32)
+    scores[:, :n] = rng.integers(0, 50, (q, n))
+    v_pad, i_pad = exact_topk_integer(jnp.asarray(scores), 100)
+    v_ref, i_ref = exact_topk_integer(jnp.asarray(scores[:, :n]), 100)
+    np.testing.assert_array_equal(np.asarray(v_pad), np.asarray(v_ref))
+    # indices agree wherever the value is positive (zeros pad arbitrarily)
+    live = np.asarray(v_ref) > 0
+    np.testing.assert_array_equal(np.asarray(i_pad)[live], np.asarray(i_ref)[live])
+
+
 def test_vmem_gates():
     assert can_use_pallas_tail(TILE, 64)
     assert not can_use_pallas_tail(TILE + 128, 64)
