@@ -107,12 +107,14 @@ def main():
     ap.add_argument("--max_new", type=int, default=50)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--precision", choices=["int8", "int4"], default="int8")
+    ap.add_argument("--kv_quant", choices=["none", "int8"], default="none",
+                    help="int8 KV cache: ~halves cache HBM, raising max batch")
     args = ap.parse_args()
 
     base = LlamaConfig.llama2_7b()
     import dataclasses
 
-    config = dataclasses.replace(base, num_layers=args.layers)
+    config = dataclasses.replace(base, num_layers=args.layers, kv_quant=args.kv_quant)
     n_params = (
         config.vocab_size * config.hidden_size * (1 if config.tie_word_embeddings else 2)
         + config.num_layers
@@ -153,6 +155,7 @@ def main():
             {
                 "geometry_params_b": round(n_params / 1e9, 2),
                 "precision": args.precision,
+                "kv_quant": args.kv_quant,
                 "batch": args.batch,
                 "prompt_len": args.prompt_len,
                 "max_new_tokens": args.max_new,

@@ -37,6 +37,10 @@ def main(argv=None) -> int:
     parser.add_argument("--int4", action="store_true",
                         help="packed 4-bit weight-only decode (the closest "
                         "analog of the reference's NF4; coarser than --int8)")
+    parser.add_argument("--kv_quant", choices=["none", "int8"], default="none",
+                        help="int8 KV cache (per-token/head scales): ~halves "
+                        "cache HBM so larger decode batches fit; trained-LM "
+                        "greedy agreement >= 0.95 (test_quantization_quality)")
     parser.add_argument("--tiny", action="store_true", help="tiny random model (smoke)")
     parser.add_argument("--t5", type=str, default=None, metavar="MODEL",
                         help="use a T5/mT5 checkpoint (e.g. an mT5 doc2query "
@@ -64,7 +68,11 @@ def main(argv=None) -> int:
             def decode(self, ids):
                 return bytes(i - 3 for i in ids if i >= 3).decode("utf-8", "ignore")
 
-        config = LlamaConfig.tiny(vocab_size=259)
+        import dataclasses
+
+        config = dataclasses.replace(
+            LlamaConfig.tiny(vocab_size=259), kv_quant=args.kv_quant
+        )
         params = init_llama_params(config, jax.random.PRNGKey(args.seed))
         tokenizer = ByteTokenizer()
         pad_id, eos_id = 0, 2
@@ -85,6 +93,7 @@ def main(argv=None) -> int:
             max_position_embeddings=hf_cfg.max_position_embeddings,
             rms_norm_eps=hf_cfg.rms_norm_eps,
             rope_theta=getattr(hf_cfg, "rope_theta", 10000.0),
+            kv_quant=args.kv_quant,
         )
         with torch.no_grad():
             hf_model = LlamaForCausalLM.from_pretrained(args.llama_path)

@@ -40,6 +40,12 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     tie_word_embeddings: bool = False
     dtype: str = "bfloat16"
+    # KV-cache storage: "none" keeps compute-dtype caches; "int8" stores
+    # per-(token, head) symmetrically-quantized int8 K/V with fp32 scales —
+    # half the cache HBM (the decode-batch ceiling at 7B; see
+    # benchmarks/LLAMA7B_INT4.json).  Scales fold into the attention
+    # einsums, so no dequantized cache is ever materialized.
+    kv_quant: str = "none"
 
     @property
     def head_dim(self) -> int:
@@ -94,6 +100,18 @@ class RMSNorm(nn.Module):
         return (norm * scale).astype(x.dtype)
 
 
+def _kv_quantize(x):
+    """Per-(batch, token, head) symmetric int8 quantization of [B, L, H, D].
+
+    Returns (int8 values, fp32 scales [B, L, H]).  fp32 math keeps the
+    round-trip deterministic across compute dtypes."""
+    x32 = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(x32), axis=-1) / 127.0
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(jnp.round(x32 / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 class LlamaAttention(nn.Module):
     config: LlamaConfig
 
@@ -110,25 +128,53 @@ class LlamaAttention(nn.Module):
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        if kv_cache is not None:
+        k_scale = v_scale = None
+        rep = c.num_heads // c.num_kv_heads
+
+        def upd(cache, new):
+            return jax.lax.dynamic_update_slice_in_dim(
+                cache, new.astype(cache.dtype), cache_index, axis=1
+            )
+
+        if kv_cache is not None and len(kv_cache) == 4:
+            # int8 KV: quantize this step's K/V post-RoPE, attend over the
+            # quantized cache.  Scales are per (token, head), constant along
+            # the head_dim contraction, so they factor OUT of the QK dot and
+            # fold INTO probs before the PV dot — the cache is never
+            # dequantized as a whole.
+            kq, ks, vq, vs = kv_cache  # [B,S,n_kv,hd] int8, [B,S,n_kv] fp32
+            nk_q, nk_s = _kv_quantize(k)
+            nv_q, nv_s = _kv_quantize(v)
+            kq, ks = upd(kq, nk_q), upd(ks, nk_s)
+            vq, vs = upd(vq, nv_q), upd(vs, nv_s)
+            new_cache = (kq, ks, vq, vs)
+            k, v = kq.astype(dt), vq.astype(dt)
+            k_scale, v_scale = ks, vs
+            if rep > 1:
+                k_scale = jnp.repeat(k_scale, rep, axis=2)
+                v_scale = jnp.repeat(v_scale, rep, axis=2)
+        elif kv_cache is not None:
             # decode: write this step's K/V at cache_index, attend over cache.
             ck, cv = kv_cache  # [B, S, n_kv, hd]
-            ck = jax.lax.dynamic_update_slice_in_dim(ck, k.astype(ck.dtype), cache_index, axis=1)
-            cv = jax.lax.dynamic_update_slice_in_dim(cv, v.astype(cv.dtype), cache_index, axis=1)
+            ck, cv = upd(ck, k), upd(cv, v)
             k, v = ck, cv
             new_cache = (ck, cv)
         else:
             new_cache = None
 
         # GQA: repeat kv heads to match q heads.
-        rep = c.num_heads // c.num_kv_heads
         if rep > 1:
             k = jnp.repeat(k, rep, axis=2)
             v = jnp.repeat(v, rep, axis=2)
 
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+        if k_scale is not None:
+            logits = logits * jnp.transpose(k_scale, (0, 2, 1))[:, :, None, :]
         logits = logits / np.sqrt(hd) + attention_bias
-        probs = jax.nn.softmax(logits, axis=-1).astype(dt)
+        probs = jax.nn.softmax(logits, axis=-1)
+        if v_scale is not None:
+            probs = probs * jnp.transpose(v_scale, (0, 2, 1))[:, :, None, :]
+        probs = probs.astype(dt)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         out = nn.DenseGeneral(
             c.hidden_size, axis=(-2, -1), use_bias=False, dtype=dt, name="o_proj"
@@ -236,10 +282,23 @@ def init_llama_params(config: LlamaConfig, rng: jax.Array, seq: int = 8) -> Dict
 
 def make_kv_caches(config: LlamaConfig, batch: int, max_len: int, dtype=None) -> list:
     """KV caches in the model's compute dtype (bf16 in production — half the
-    HBM traffic of fp32 during decode; fp32 models get fp32 caches)."""
+    HBM traffic of fp32 during decode; fp32 models get fp32 caches).  With
+    ``config.kv_quant == "int8"`` each layer's cache is the 4-tuple
+    (k int8, k_scale fp32, v int8, v_scale fp32) — half the bytes again."""
+    shape = (batch, max_len, config.num_kv_heads, config.head_dim)
+    if config.kv_quant == "int8":
+        sshape = shape[:-1]
+        return [
+            (
+                jnp.zeros(shape, dtype=jnp.int8),
+                jnp.zeros(sshape, dtype=jnp.float32),
+                jnp.zeros(shape, dtype=jnp.int8),
+                jnp.zeros(sshape, dtype=jnp.float32),
+            )
+            for _ in range(config.num_layers)
+        ]
     if dtype is None:
         dtype = jnp.dtype(config.dtype)
-    shape = (batch, max_len, config.num_kv_heads, config.head_dim)
     return [
         (jnp.zeros(shape, dtype=dtype), jnp.zeros(shape, dtype=dtype))
         for _ in range(config.num_layers)

@@ -118,6 +118,60 @@ def test_kv_cache_decode_matches_full_forward():
         )
 
 
+def test_int8_kv_cache_decode_close_to_fp_cache():
+    """int8 KV cache: same decode protocol, logits within quantization
+    tolerance of the full-precision cache at every step."""
+    cfg = fp32(LlamaConfig.tiny())
+    cfg8 = dataclasses.replace(cfg, kv_quant="int8")
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    model, model8 = LlamaModel(cfg), LlamaModel(cfg8)
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(0, 256, (2, 6)).astype(np.int32)
+    extra = rng.integers(0, 256, (2, 3)).astype(np.int32)
+
+    def run(model, caches):
+        slot_mask = np.zeros((2, 9), dtype=np.int32)
+        slot_mask[:, :6] = 1
+        outs = []
+        logits, caches = model.apply(
+            {"params": params}, jnp.asarray(prompt), jnp.asarray(slot_mask),
+            kv_caches=caches, cache_index=0,
+        )
+        outs.append(np.asarray(logits))
+        for t in range(3):
+            slot_mask[:, 6 + t] = 1
+            pos = np.full((2, 1), 6 + t, dtype=np.int32)
+            logits, caches = model.apply(
+                {"params": params}, jnp.asarray(extra[:, t : t + 1]),
+                jnp.asarray(slot_mask), positions=jnp.asarray(pos),
+                kv_caches=caches, cache_index=6 + t,
+            )
+            outs.append(np.asarray(logits[:, 0]))
+        return outs
+
+    ref = run(model, make_kv_caches(cfg, 2, 9, dtype=jnp.float32))
+    got = run(model8, make_kv_caches(cfg8, 2, 9))
+    assert len(got[0].shape) == 3
+    for a, b in zip(ref, got):
+        # int8 K/V with per-(token, head) scales: sub-percent logit drift
+        assert np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9) < 0.02
+
+
+def test_int8_kv_cache_halves_bytes():
+    cfg8 = dataclasses.replace(LlamaConfig.tiny(), kv_quant="int8")
+    caches = make_kv_caches(cfg8, 4, 16)
+    kq, ks, vq, vs = caches[0]
+    assert kq.dtype == jnp.int8 and ks.dtype == jnp.float32
+    assert kq.shape == (4, 16, cfg8.num_kv_heads, cfg8.head_dim)
+    assert ks.shape == (4, 16, cfg8.num_kv_heads)
+    bf16 = make_kv_caches(LlamaConfig.tiny(), 4, 16)
+    bytes8 = sum(x.nbytes for x in caches[0])
+    bytes16 = sum(x.nbytes for x in bf16[0])
+    # tiny head_dim=16 makes the fp32 scale plane 25% overhead (0.625x);
+    # at 7B geometry (head_dim 128) the ratio is ~0.52x
+    assert bytes8 < bytes16 * 0.65
+
+
 def test_top_k_top_p_matches_hf():
     torch = pytest.importorskip("torch")
     from transformers.generation.logits_process import (

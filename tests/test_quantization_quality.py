@@ -138,3 +138,29 @@ def test_trained_greedy_decode_and_quantized_agreement(trained_lm):
     q4_acc = float((q4 == expect).mean())
     assert q8_acc > 0.9, f"int8 grammar accuracy {q8_acc}"
     assert q4_acc > 0.6, f"int4 grammar accuracy {q4_acc}"
+
+
+@pytest.mark.slow
+def test_trained_greedy_decode_int8_kv_cache_agreement(trained_lm):
+    """int8 KV-cache quantization (models/llama._kv_quantize) must preserve
+    the TRAINED model's greedy continuations — the serving mode where the
+    cache is the decode-batch HBM ceiling at 7B."""
+    import dataclasses
+
+    cfg, params = trained_lm
+    rng = np.random.default_rng(11)
+    prompts = _grammar_batch(rng, 16)[:, :16]
+
+    fp = _greedy_continuations(cfg, params, prompts)
+    kv8 = _greedy_continuations(
+        dataclasses.replace(cfg, kv_quant="int8"), params, prompts
+    )
+
+    agree = float((kv8 == fp).mean())
+    assert agree >= 0.95, f"int8-KV greedy agreement {agree}"
+
+    strides = (prompts[:, 1] - prompts[:, 0]) % VOCAB
+    idx = np.arange(1, kv8.shape[1] + 1)
+    expect = (prompts[:, -1][:, None] + strides[:, None] * idx) % VOCAB
+    acc = float((kv8 == expect).mean())
+    assert acc > 0.9, f"int8-KV grammar accuracy {acc}"
