@@ -342,3 +342,12 @@ def test_tensor_parallel_sampling(cpu_devices):
     )
     got = sampler.generate(sharded, ids, mask, seed=0)
     np.testing.assert_array_equal(got, ref)
+
+    # int8 KV cache under TP: the quantized cache + scale arrays are created
+    # inside the jit, so XLA must propagate the model-axis sharding through
+    # the quantize/update/attend chain; greedy output must be unchanged.
+    cfg8 = dataclasses.replace(cfg, kv_quant="int8")
+    sampler8 = Sampler(cfg8, gen, eos_token_id=2)
+    ref8 = sampler8.generate(params, ids, mask, seed=0)
+    got8 = sampler8.generate(sharded, ids, mask, seed=0)
+    np.testing.assert_array_equal(got8, ref8)
