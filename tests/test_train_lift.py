@@ -132,3 +132,43 @@ def test_training_improves_retrieval(tmp_path):
     assert mrr_after >= mrr_before + 0.25, (
         f"no training lift: before={mrr_before} after={mrr_after}"
     )
+
+
+def test_distillation_improves_retrieval(tmp_path):
+    """Same adversarial world, trained with DistilKL from a synthetic
+    perfect teacher (pos score 10, distractor 0 — the reference's
+    distillation path, distil_trainer.py:34-75) instead of pairwise CE."""
+    docs, queries, qrels, triples = _world()
+    vocab = WordPieceVocab.build(docs + list(queries.values()), max_size=512)
+    tokenizer = ImpactTokenizer(vocab, max_length=32)
+    cfg = EncoderConfig.tiny(vocab_size=len(vocab), impact_activation="softplus")
+
+    untrained = DeepImpact(cfg, tokenizer, seed=3)
+    mrr_before = _pipeline_mrr(untrained, docs, queries, qrels, tmp_path / "before")
+
+    # distillation groups: (query, [(pos, 10.0), (neg, 0.0)])
+    groups = [(q, [(pos, 10.0), (neg, 0.0)]) for q, pos, neg in triples]
+
+    model = DeepImpact(cfg, tokenizer, seed=3)
+    tc = TrainConfig(
+        batch_size=4, lr=3e-3, save_every=10**6, eval_every=10**9,
+        loss="distil_kl",
+    )
+    trainer = Trainer(model, tc, tmp_path / "ckpt")
+    collate = COLLATES["distil_kl"]
+    rng = np.random.default_rng(0)
+    for epoch in range(6):
+        order = rng.permutation(len(groups))
+        loader = BatchLoader(
+            [groups[i] for i in order],
+            4,
+            lambda b: collate(b, tokenizer, 32),
+            shuffle=False,
+        )
+        trainer.train(loader, skip=0)
+
+    mrr_after = _pipeline_mrr(model, docs, queries, qrels, tmp_path / "after")
+    assert mrr_after >= 0.8, f"distil-trained MRR@10 {mrr_after}"
+    assert mrr_after >= mrr_before + 0.25, (
+        f"no distillation lift: before={mrr_before} after={mrr_after}"
+    )
