@@ -261,8 +261,13 @@ def _finish_topk(scores, num_docs: int, top_k: int, approx: bool, integer_scores
         vals, idx = jax.lax.approx_max_k(scores[:, :num_docs], k, recall_target=0.99)
         idx = idx.astype(jnp.int32)
     elif integer_scores:
-        # keep the tile-padded width: padded columns score 0 and zero is
-        # never selected (s_k >= 1), while the aligned width lets the
+        from ..ops import exact_topk as _et
+
+        if not (_et._PALLAS_COUNT and scores.shape[1] % (1 << 14) == 0):
+            # default: drop the padding before selection (fewer columns)
+            scores = scores[:, :num_docs]
+        # else keep the tile-padded width: padded columns score 0 and zero
+        # is never selected (s_k >= 1), and the aligned width lets the
         # Pallas threshold-count kernel stream whole tiles
         vals, idx = exact_topk_integer(scores, k)
     else:
