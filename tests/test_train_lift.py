@@ -172,3 +172,39 @@ def test_distillation_improves_retrieval(tmp_path):
     assert mrr_after >= mrr_before + 0.25, (
         f"no distillation lift: before={mrr_before} after={mrr_after}"
     )
+
+
+def test_in_batch_negatives_improves_retrieval(tmp_path):
+    """Same world, trained with the in-batch-negatives objective (every
+    query scored against all B negatives, reference in_batch_negatives.py)."""
+    docs, queries, qrels, triples = _world()
+    vocab = WordPieceVocab.build(docs + list(queries.values()), max_size=512)
+    tokenizer = ImpactTokenizer(vocab, max_length=32)
+    cfg = EncoderConfig.tiny(vocab_size=len(vocab), impact_activation="softplus")
+
+    untrained = DeepImpact(cfg, tokenizer, seed=3)
+    mrr_before = _pipeline_mrr(untrained, docs, queries, qrels, tmp_path / "before")
+
+    model = DeepImpact(cfg, tokenizer, seed=3)
+    tc = TrainConfig(
+        batch_size=4, lr=3e-3, save_every=10**6, eval_every=10**9,
+        loss="in_batch_negatives",
+    )
+    trainer = Trainer(model, tc, tmp_path / "ckpt")
+    collate = COLLATES["in_batch_negatives"]
+    rng = np.random.default_rng(0)
+    for epoch in range(6):
+        order = rng.permutation(len(triples))
+        loader = BatchLoader(
+            [triples[i] for i in order],
+            4,
+            lambda b: collate(b, tokenizer, 32),
+            shuffle=False,
+        )
+        trainer.train(loader, skip=0)
+
+    mrr_after = _pipeline_mrr(model, docs, queries, qrels, tmp_path / "after")
+    assert mrr_after >= 0.8, f"in-batch-neg MRR@10 {mrr_after}"
+    assert mrr_after >= mrr_before + 0.25, (
+        f"no in-batch-negatives lift: before={mrr_before} after={mrr_after}"
+    )
