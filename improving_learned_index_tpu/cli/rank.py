@@ -32,6 +32,10 @@ def main(argv=None) -> int:
                         help="hybrid engine: HBM budget for dense heavy-term "
                         "rows; more rows shrink the serialized tail scatter "
                         "(8.8M docs: 4GB->174 q/s, 6GB->222 q/s on v5e-1)")
+    parser.add_argument("--use_pallas", action="store_true",
+                        help="hybrid engine: opt into the Pallas gather/"
+                        "scatter scoring kernels (TPU only; exact; pending "
+                        "a stress pass before becoming the default)")
     args = parser.parse_args(argv)
 
     ranker = Ranker(
@@ -46,6 +50,7 @@ def main(argv=None) -> int:
         top_k=args.top_k,
         approx_top_k=args.approx_top_k,
         dense_budget_bytes=int(args.dense_budget_gb * (1 << 30)),
+        use_pallas=args.use_pallas,
     )
     n = ranker.run()
     print(f"ranked {n} queries -> {args.output_path}")

@@ -38,6 +38,7 @@ class Ranker:
         top_k: int = 1000,
         approx_top_k: bool = False,
         dense_budget_bytes: int = 4 << 30,
+        use_pallas: bool = False,  # opt-in hybrid-engine Pallas kernels
     ):
         self.queries = Queries(queries_path, dataset_type=dataset_type)
         self.query_ids = list(self.queries.keys())
@@ -79,6 +80,7 @@ class Ranker:
                 self.engine = HybridSearchEngine(
                     index, SearchConfig(approx_top_k=approx_top_k),
                     dense_budget_bytes=dense_budget_bytes,
+                    use_pallas=use_pallas,
                 )
             elif engine == "host":
                 self.engine = InvertedIndex(index)
