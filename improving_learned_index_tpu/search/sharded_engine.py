@@ -33,7 +33,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.config import SearchConfig
 from ..index.inverted import InvertedIndexData
 from ..ops.exact_topk import exact_topk_integer
-from .hybrid_engine import _SCATTER_TILE as _TILE, _TILED_MIN_DOCS as _TILED_MIN
+from .hybrid_engine import (
+    _PALLAS_MIN_DOCS as _PALLAS_MIN,
+    _SCATTER_TILE as _TILE,
+    _TILED_MIN_DOCS as _TILED_MIN,
+)
 
 TAIL_CHUNK = 512
 
@@ -55,6 +59,7 @@ class ShardedSearchEngine:
         config: SearchConfig = SearchConfig(),
         heavy_min: int = 1024,
         axis: str = "data",
+        use_pallas: bool = False,  # opt-in per-shard Pallas tail scatter
     ):
         self.config = config
         self.mesh = mesh
@@ -73,11 +78,21 @@ class ShardedSearchEngine:
         # Below that threshold the flat scatter runs and only needs 128-lane
         # alignment; tile-aligning there would waste up to ~2x dense HBM.
         per = -(-self.num_docs // self.n_shards)
-        if per >= _TILED_MIN:
+        if per >= _PALLAS_MIN:
+            # tile-aligned (<= 12.5% pad at this size) so both the Pallas
+            # tail scatter and the XLA tiled path work on whole tiles
             self.shard_docs = -(-per // _TILE) * _TILE
         else:
             self.shard_docs = ((per + 127) // 128) * 128
         self.doc_lo = np.arange(self.n_shards) * self.shard_docs
+        # same opt-in gate as hybrid_engine: exact kernels, pending a TPU
+        # stress pass; tests flip _pallas/_pallas_interpret directly
+        self._pallas = (
+            bool(use_pallas)
+            and self.shard_docs % _TILE == 0
+            and jax.default_backend() == "tpu"
+        )
+        self._pallas_interpret = False
 
         offsets = np.asarray(index.offsets, dtype=np.int64)
         lengths = np.diff(offsets)
@@ -191,8 +206,11 @@ class ShardedSearchEngine:
         shard_docs = self.shard_docs
         n_shards = self.n_shards
 
-        @partial(jax.jit, static_argnums=(6, 7))
-        def score(dense, w, tail_docs, tail_vals, tail_table, doc_lo, k_local, k_final):
+        @partial(jax.jit, static_argnums=(6, 7, 8))
+        def score(
+            dense, w, tail_docs, tail_vals, tail_table, doc_lo,
+            k_local, k_final, tail_impl="xla",
+        ):
             def local(dense_s, tail_docs_s, tail_vals_s, tail_table_s, doc_lo_s):
                 # dense_s: [1, T_h, shard_docs]; tail_table_s: [1, 3, C]
                 # HIGHEST: TPU's default precision truncates fp32 operands
@@ -217,7 +235,15 @@ class ShardedSearchEngine:
                 v = jnp.take(tail_vals_s[0], pos, axis=0)
                 v = jnp.where(valid, v, 0.0)
                 r = jnp.broadcast_to(rows[:, None], d.shape)
-                if shard_docs >= _TILED_MIN and shard_docs % _TILE == 0:
+                if tail_impl.startswith("pallas"):
+                    # per-shard Pallas paged tail scatter (ops/scatter_scores)
+                    from ..ops.scatter_scores import apply_tail_updates
+
+                    scores = apply_tail_updates(
+                        scores, d.reshape(-1), v.reshape(-1), r.reshape(-1),
+                        interpret=tail_impl == "pallas_interpret",
+                    )
+                elif shard_docs >= _TILED_MIN and shard_docs % _TILE == 0:
                     # doc-sorted VMEM-tiled scatter (see hybrid_engine)
                     from .hybrid_engine import _apply_tail_tiled
 
@@ -331,6 +357,11 @@ class ShardedSearchEngine:
             self._doc_lo_dev,
             k_local,
             k_final,
+            (
+                ("pallas_interpret" if self._pallas_interpret else "pallas")
+                if self._pallas and nq_b <= 64
+                else "xla"
+            ),
         )
 
         def finalize() -> List[List[Tuple[int, float]]]:

@@ -34,6 +34,31 @@ def mesh(request):
     return Mesh(_np.asarray(jax.devices()[:8]), axis_names=("data",))
 
 
+def test_sharded_pallas_tail_matches_host(mesh, monkeypatch):
+    """Opt-in per-shard Pallas tail scatter (interpret mode on the virtual
+    mesh) must agree exactly with the host engine."""
+    from improving_learned_index_tpu.search import sharded_engine
+
+    monkeypatch.setattr(sharded_engine, "_PALLAS_MIN", 1)  # force tile pad
+    rng = np.random.default_rng(13)
+    index = _random_index(rng, num_docs=900, vocab_size=40, postings=6000)
+    host = InvertedIndex(index)
+    sharded = ShardedSearchEngine(index, mesh, heavy_min=48)
+    assert sharded.shard_docs % (1 << 16) == 0
+    sharded._pallas = True
+    sharded._pallas_interpret = True
+    queries = [{"t0", "t1", "t7"}, {f"t{i}" for i in range(20)}, set()]
+    h = host.score_batch(queries, 30)
+    y = sharded.score_batch(queries, 30)
+    for ours, theirs in zip(y, h):
+        assert [s for _, s in ours] == [s for _, s in theirs]
+        if ours:
+            boundary = ours[-1][1]
+            assert {d for d, s in ours if s > boundary} == {
+                d for d, s in theirs if s > boundary
+            }
+
+
 @pytest.mark.parametrize("heavy_min", [1, 48, 10**9])
 def test_sharded_matches_host(mesh, heavy_min):
     rng = np.random.default_rng(11)
@@ -93,6 +118,7 @@ def test_sharded_tiled_tail_large_shards(mesh, monkeypatch):
 
     monkeypatch.setattr(hybrid_engine, "_TILED_MIN_DOCS", _SCATTER_TILE + 1)
     monkeypatch.setattr(sharded_engine, "_TILED_MIN", _SCATTER_TILE + 1)
+    monkeypatch.setattr(sharded_engine, "_PALLAS_MIN", _SCATTER_TILE + 1)
     num_docs = 2 * _SCATTER_TILE * 8 + 777  # >1 tile per shard on 8 devices
     rng = np.random.default_rng(7)
     per_doc = {}
