@@ -587,6 +587,16 @@ class HybridSearchEngine:
             heavy_rows,
         )
 
+    def _log_pallas_fallback(self) -> None:
+        """Degrade to the XLA scoring path permanently for this engine."""
+        import logging
+
+        logging.getLogger("improving_learned_index_tpu.hybrid_engine").warning(
+            "pallas scoring failed; this engine falls back to the XLA path",
+            exc_info=True,
+        )
+        self._pallas = False
+
     def score_batch_async(
         self,
         query_term_sets: Sequence[Set[str]],
@@ -628,6 +638,7 @@ class HybridSearchEngine:
         lengths_a = np.concatenate([lengths, zpad])
         rows_a = np.concatenate([rows, zpad])
 
+        packed = None
         if self._pallas and nq_b <= 64:
             from ..ops.gather_rows import can_use_pallas_gather
 
@@ -653,26 +664,29 @@ class HybridSearchEngine:
                 ids_a = np.zeros(1, np.int32)
                 pairs_a = np.zeros((1, 2), np.int32)
                 counts = np.zeros(2, np.int32)
-            packed = _score_and_topk_pallas(
-                self.dense,
-                jnp.asarray(w.astype(jnp.bfloat16)),
-                jnp.asarray(ids_a),
-                jnp.asarray(pairs_a),
-                jnp.asarray(counts),
-                self.doc_ids,
-                self.impacts,
-                jnp.asarray(starts_a),
-                jnp.asarray(lengths_a),
-                jnp.asarray(rows_a),
-                nq_b,
-                self.num_docs,
-                k,
-                dense_impl,
-                "pallas" if use_tail else "none",
-                self.config.approx_top_k,
-                self._pallas_interpret,
-            )
-        else:
+            try:
+                packed = _score_and_topk_pallas(
+                    self.dense,
+                    jnp.asarray(w.astype(jnp.bfloat16)),
+                    jnp.asarray(ids_a),
+                    jnp.asarray(pairs_a),
+                    jnp.asarray(counts),
+                    self.doc_ids,
+                    self.impacts,
+                    jnp.asarray(starts_a),
+                    jnp.asarray(lengths_a),
+                    jnp.asarray(rows_a),
+                    nq_b,
+                    self.num_docs,
+                    k,
+                    dense_impl,
+                    "pallas" if use_tail else "none",
+                    self.config.approx_top_k,
+                    self._pallas_interpret,
+                )
+            except Exception:
+                self._log_pallas_fallback()
+        if packed is None:
             packed = _score_and_topk(
                 self.dense,
                 jnp.asarray(w.astype(jnp.bfloat16)),
@@ -689,8 +703,19 @@ class HybridSearchEngine:
                 self.integer_scores,
             )
 
+        used_pallas = self._pallas
+
         def finalize() -> List[List[Tuple[int, float]]]:
-            host = np.asarray(packed)  # one transfer: [nq_b, 2, k] int32
+            try:
+                host = np.asarray(packed)  # one transfer: [nq_b, 2, k] int32
+            except Exception:
+                if not used_pallas:
+                    raise
+                # Runtime failure in the opt-in Pallas path: degrade this
+                # engine to the XLA path permanently and recompute the
+                # batch — serving keeps answering, exactly, just slower.
+                self._log_pallas_fallback()
+                return self.score_batch(query_term_sets, top_k)
             top_scores = host[:nq, 0].view(np.float32)
             top_docs = host[:nq, 1]
             return [

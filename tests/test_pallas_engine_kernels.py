@@ -275,6 +275,57 @@ def test_engine_pallas_subbatches_large_batch(monkeypatch):
         assert dict(a) == dict(b)
 
 
+def test_engine_pallas_runtime_fallback(monkeypatch):
+    """A failing Pallas dispatch must degrade the engine to the XLA path
+    (permanently) and still return exact results for the batch."""
+    from improving_learned_index_tpu.search import hybrid_engine
+    from improving_learned_index_tpu.search.hybrid_engine import HybridSearchEngine
+
+    monkeypatch.setattr(hybrid_engine, "_PALLAS_MIN_DOCS", TILE)
+    idx, rng = _toy_corpus_index()
+    eng = HybridSearchEngine(idx, heavy_min=1024)
+    terms = list(idx.term_to_id)
+    batch = [{terms[i] for i in rng.choice(len(terms), size=3)} for _ in range(4)]
+    ref = eng.score_batch(batch, 20)
+
+    def boom(*a, **k):
+        raise RuntimeError("INVALID_ARGUMENT: injected")
+
+    monkeypatch.setattr(hybrid_engine, "_score_and_topk_pallas", boom)
+    eng._pallas = True
+    got = eng.score_batch(batch, 20)  # dispatch-time failure -> XLA fallback
+    assert not eng._pallas
+    for a, b in zip(ref, got):
+        assert dict(a) == dict(b)
+
+
+def test_engine_pallas_fetch_fallback(monkeypatch):
+    """A failure surfacing at result-fetch time (async dispatch) must also
+    fall back and recompute exactly."""
+    from improving_learned_index_tpu.search import hybrid_engine
+    from improving_learned_index_tpu.search.hybrid_engine import HybridSearchEngine
+
+    monkeypatch.setattr(hybrid_engine, "_PALLAS_MIN_DOCS", TILE)
+    idx, rng = _toy_corpus_index()
+    eng = HybridSearchEngine(idx, heavy_min=1024)
+    terms = list(idx.term_to_id)
+    batch = [{terms[i] for i in rng.choice(len(terms), size=3)} for _ in range(4)]
+    ref = eng.score_batch(batch, 20)
+
+    class _Poisoned:
+        def __array__(self, *a, **k):
+            raise RuntimeError("DATA_LOSS: injected at fetch")
+
+    monkeypatch.setattr(
+        hybrid_engine, "_score_and_topk_pallas", lambda *a, **k: _Poisoned()
+    )
+    eng._pallas = True
+    got = eng.score_batch(batch, 20)
+    assert not eng._pallas
+    for a, b in zip(ref, got):
+        assert dict(a) == dict(b)
+
+
 def test_engine_pallas_gate_off_on_cpu():
     """On the CPU test backend the engine must keep the XLA paths."""
     from improving_learned_index_tpu.search.hybrid_engine import HybridSearchEngine
