@@ -161,6 +161,72 @@ def test_cli_pairwise_index(workspace):
     assert "|" in text  # composite pair postings present
 
 
+def test_cli_pairwise_full_loop(workspace):
+    """Pairwise model end to end: index -> quantize -> invert -> rank
+    --pairwise.  The composite term1|term2 postings must actually
+    contribute: ranking the same queries WITHOUT --pairwise yields
+    strictly lower-or-equal scores, with at least one strictly lower
+    (reference rank.py:53-57 adds pair products to the accumulation)."""
+    root = workspace
+    assert cli_build_vocab.main([
+        "--collection_path", str(root / "collection.tsv"),
+        "--output_path", str(root / "vocab.txt"),
+        "--max_size", "512", "--min_freq", "1",
+    ]) == 0
+    fwd = root / "pairwise.index"
+    assert cli_index.main([
+        "--vocab_path", str(root / "vocab.txt"),
+        "--tiny", "--max_length", "32",
+        "--model_kind", "pairwise",
+        "--collection_path", str(root / "collection.tsv"),
+        "--output_file_path", str(fwd),
+        "--model_batch_size", "4",
+    ]) == 0
+    q = root / "pairwise.index.q"
+    assert cli_quantize.main(["-i", str(fwd), "-o", str(q)]) == 0
+    inv = root / "pairwise_inverted"
+    assert cli_invert.main(["-i", str(q), "-o", str(inv)]) == 0
+
+    # query the two sides of a composite posting with a NONZERO quantized
+    # impact (zero-quantized postings stay in vocab for byte parity but are
+    # never scored), so the pair term MUST contribute under --pairwise
+    from improving_learned_index_tpu.index.inverted import InvertedIndexData
+
+    loaded = InvertedIndexData.load(inv)
+    pair_terms = [
+        t
+        for tid, t in enumerate(loaded.vocab)
+        if "|" in t and loaded.offsets[tid + 1] > loaded.offsets[tid]
+    ]
+    assert pair_terms, "no scored composite postings survived quantization"
+    t1, t2 = pair_terms[0].split("|")
+    (root / "pair_queries.tsv").write_text(f"qp\t{t1} {t2}\n")
+
+    def rank(flag, out_name):
+        args = [
+            "--vocab_path", str(root / "vocab.txt"),
+            "--tiny", "--max_length", "32",
+            "--index_path", str(inv),
+            "--queries_path", str(root / "pair_queries.tsv"),
+            "--output_path", str(root / out_name),
+            "--engine", "host",
+        ] + flag
+        assert cli_rank.main(args) == 0
+        scores = {}
+        for line in (root / out_name).read_text().splitlines():
+            qid, pid, _rank, score = line.split("\t")[:4]
+            scores[(qid, pid)] = float(score)
+        return scores
+
+    pair_scores = rank(["--pairwise"], "run_pairwise.tsv")
+    flat_scores = rank([], "run_flat.tsv")
+    assert pair_scores, "pairwise ranking produced no results"
+    common = set(pair_scores) & set(flat_scores)
+    assert common
+    assert all(pair_scores[k] >= flat_scores[k] for k in common)
+    assert any(pair_scores[k] > flat_scores[k] for k in common)
+
+
 def test_cli_finetune_tiny(tmp_path):
     from improving_learned_index_tpu.cli import finetune as cli_finetune
 
