@@ -21,10 +21,16 @@ def main(argv=None) -> int:
     add_model_args(parser)
     parser.add_argument("--collection_path", type=Path, required=True)
     parser.add_argument("--collection_type", choices=["msmarco", "beir"], default="msmarco")
-    parser.add_argument("--output_file_path", type=Path, required=True)
+    parser.add_argument("--output_file_path", type=Path, default=None,
+                        help="reference-format text forward index")
+    parser.add_argument("--store_path", type=Path, default=None,
+                        help="binary impact store directory (array fast path "
+                        "for the quantize/invert stages)")
     parser.add_argument("--model_batch_size", type=int, default=32)
     parser.add_argument("--max_terms", type=int, default=None)
     args = parser.parse_args(argv)
+    if args.output_file_path is None and args.store_path is None:
+        parser.error("need --output_file_path and/or --store_path")
 
     model = build_model(args)
     max_length = args.max_length or model.max_length
@@ -34,9 +40,13 @@ def main(argv=None) -> int:
         model_batch_size=args.model_batch_size,
     )
     n = Indexer(model, config).index_to_file(
-        args.collection_path, args.output_file_path, args.collection_type
+        args.collection_path,
+        args.output_file_path,
+        args.collection_type,
+        store_path=args.store_path,
     )
-    print(f"indexed {n} documents -> {args.output_file_path}")
+    dest = " + ".join(str(p) for p in (args.output_file_path, args.store_path) if p)
+    print(f"indexed {n} documents -> {dest}")
     return 0
 
 

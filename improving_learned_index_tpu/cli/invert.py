@@ -14,7 +14,12 @@ def main(argv=None) -> int:
     parser.add_argument("-i", "--deep_impact_collection_path", type=Path, required=True)
     parser.add_argument("-o", "--output_path", type=Path, required=True)
     args = parser.parse_args(argv)
-    index = InvertedIndexData.from_forward_index(args.deep_impact_collection_path)
+    from ..index.impact_store import is_impact_store
+
+    if is_impact_store(args.deep_impact_collection_path):
+        index = InvertedIndexData.from_impact_store(args.deep_impact_collection_path)
+    else:
+        index = InvertedIndexData.from_forward_index(args.deep_impact_collection_path)
     index.save(args.output_path)
     print(
         f"inverted index: {len(index)} terms, {index.num_postings} postings "

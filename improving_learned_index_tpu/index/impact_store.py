@@ -1,0 +1,281 @@
+"""Binary impact store: the array fast path through the indexing pipeline.
+
+The reference pipeline moves per-document term impacts between stages as
+text — the indexer writes "term: score, ..." lines
+(src/deep_impact/indexing/indexer.py:55-66), quantize re-parses and
+re-writes them (indexing/quantize.py:27-47), and the inverted-index creator
+parses them a third time (inverted_index/create.py:12-55).  Every stage
+pays ~9 bytes of Python text parsing per posting; at MSMARCO scale that is
+40M+ postings parsed three times on one host core.
+
+On a TPU host the encode stage already holds term ids and impact scores as
+arrays, so this store keeps them as flat little-endian arrays on disk and
+the downstream stages (global-max quantization, CSR inversion) become pure
+numpy array transforms — no text round-trip.  The reference text formats
+remain fully supported (``store_to_forward_text`` / ``store_from_forward_text``
+convert losslessly), and the final ``.dat/.idx/vocab`` artifact built from a
+store is byte-identical to the one built through the text pipeline: the
+writer stores ``round(value, 3)`` with Python-``round`` semantics, exactly
+the value the text writer serializes (forward_index.format_line) and the
+text parser reads back (repr round-trips).
+
+On-disk layout (a directory)::
+
+    meta.json      {"version": 1, "num_docs": N, "num_postings": P,
+                    "quantized": bool, "bits": b, "max_val": float|None}
+    vocab.txt      term strings, writer insertion order, one per line
+    counts.bin     int32[N]    postings per document
+    term_ids.bin   int32[P]    into vocab.txt line numbers
+    values.bin     float64[P]  rounded impact scores, or uint8[P] quantized
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+PathLike = Union[str, Path]
+
+_META = "meta.json"
+_VOCAB = "vocab.txt"
+_COUNTS = "counts.bin"
+_TERM_IDS = "term_ids.bin"
+_VALUES = "values.bin"
+
+# flush buffered postings to disk every ~4M entries (~48 MB float path)
+_FLUSH_POSTINGS = 1 << 22
+
+
+def is_impact_store(path: PathLike) -> bool:
+    p = Path(path)
+    return p.is_dir() and (p / _META).exists()
+
+
+class ImpactStoreWriter:
+    """Streaming writer: one ``add_doc`` per document, O(1) memory."""
+
+    def __init__(self, path: PathLike, quantized: bool = False, bits: int = 8):
+        self.path = Path(path)
+        self.path.mkdir(parents=True, exist_ok=True)
+        self.quantized = quantized
+        self.bits = bits
+        self.max_val: Optional[float] = None
+        self._tid: Dict[str, int] = {}
+        self._counts: List[int] = []
+        self._ids: List[np.ndarray] = []
+        self._vals: List[np.ndarray] = []
+        self._buffered = 0
+        self._num_postings = 0
+        self._val_dtype = np.uint8 if quantized else np.float64
+        self._f_counts = open(self.path / _COUNTS, "wb")
+        self._f_ids = open(self.path / _TERM_IDS, "wb")
+        self._f_vals = open(self.path / _VALUES, "wb")
+        self._closed = False
+
+    def add_doc(self, term_impacts: Sequence[Tuple[str, float]]) -> None:
+        """Add one document's (term, impact) pairs (terms unique per doc,
+        as the document processor guarantees — text/processor.py)."""
+        tid = self._tid
+        ids = np.empty(len(term_impacts), np.int32)
+        vals = np.empty(len(term_impacts), self._val_dtype)
+        for i, (term, value) in enumerate(term_impacts):
+            t = tid.get(term)
+            if t is None:
+                t = len(tid)
+                tid[term] = t
+            ids[i] = t
+            # text-writer parity: forward_index.format_line serializes
+            # round(v, 3) and repr round-trips, so the text pipeline's
+            # parsed value IS round(v, 3) — store the identical float
+            vals[i] = value if self.quantized else round(float(value), 3)
+        self._append(ids, vals)
+
+    def add_doc_ids(self, term_ids: np.ndarray, values: np.ndarray) -> None:
+        """Add one document with pre-mapped term ids (the caller owns the
+        vocab; pair with ``set_vocab``)."""
+        self._append(
+            np.asarray(term_ids, np.int32),
+            np.asarray(values, self._val_dtype),
+        )
+
+    def set_vocab(self, vocab: Sequence[str]) -> None:
+        self._tid = {t: i for i, t in enumerate(vocab)}
+
+    def _append(self, ids: np.ndarray, vals: np.ndarray) -> None:
+        self._counts.append(len(ids))
+        self._ids.append(ids)
+        self._vals.append(vals)
+        self._buffered += len(ids)
+        self._num_postings += len(ids)
+        if self._buffered >= _FLUSH_POSTINGS:
+            self._flush()
+
+    def _flush(self) -> None:
+        if self._counts:
+            np.asarray(self._counts, np.int32).tofile(self._f_counts)
+            self._counts = []
+        if self._ids:
+            np.concatenate(self._ids).tofile(self._f_ids)
+            np.concatenate(self._vals).tofile(self._f_vals)
+            self._ids, self._vals = [], []
+        self._buffered = 0
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._flush()
+        for f in (self._f_counts, self._f_ids, self._f_vals):
+            f.close()
+        with open(self.path / _VOCAB, "w", encoding="utf-8") as f:
+            for term in self._tid:
+                f.write(term + "\n")
+        meta = {
+            "version": 1,
+            "num_docs": int(
+                np.fromfile(self.path / _COUNTS, np.int32).size
+            ),
+            "num_postings": int(self._num_postings),
+            "quantized": bool(self.quantized),
+            "bits": int(self.bits),
+            "max_val": self.max_val,
+        }
+        with open(self.path / _META, "w") as f:
+            json.dump(meta, f)
+        self._closed = True
+
+    def __enter__(self) -> "ImpactStoreWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+class ImpactStore:
+    """Memory-mapped reader over a store directory."""
+
+    def __init__(self, path: PathLike):
+        self.path = Path(path)
+        with open(self.path / _META) as f:
+            self.meta = json.load(f)
+        with open(self.path / _VOCAB, encoding="utf-8") as f:
+            self.vocab: List[str] = [line.rstrip("\n") for line in f]
+        self.quantized: bool = self.meta["quantized"]
+        self.bits: int = self.meta.get("bits", 8)
+        self.max_val: Optional[float] = self.meta.get("max_val")
+        self.counts = np.fromfile(self.path / _COUNTS, np.int32)
+        val_dtype = np.uint8 if self.quantized else np.float64
+        self.term_ids = np.memmap(self.path / _TERM_IDS, np.int32, mode="r")
+        self.values = np.memmap(self.path / _VALUES, val_dtype, mode="r")
+        self.offsets = np.zeros(len(self.counts) + 1, np.int64)
+        np.cumsum(self.counts, out=self.offsets[1:])
+        assert self.offsets[-1] == len(self.term_ids) == len(self.values), (
+            "impact store postings/count mismatch"
+        )
+
+    @property
+    def num_docs(self) -> int:
+        return len(self.counts)
+
+    @property
+    def num_postings(self) -> int:
+        return int(self.offsets[-1])
+
+    def doc(self, doc_id: int) -> Tuple[np.ndarray, np.ndarray]:
+        s, e = self.offsets[doc_id], self.offsets[doc_id + 1]
+        return self.term_ids[s:e], self.values[s:e]
+
+    def iter_docs(self) -> Iterator[Tuple[int, Dict[str, float]]]:
+        """Forward-index-compatible iteration (term-string dicts)."""
+        vocab = self.vocab
+        for doc_id in range(self.num_docs):
+            ids, vals = self.doc(doc_id)
+            yield doc_id, {vocab[t]: v for t, v in zip(ids.tolist(), vals.tolist())}
+
+
+def quantize_store(
+    input_path: PathLike,
+    output_path: PathLike,
+    max_val: Optional[float] = None,
+    bits: int = 8,
+) -> float:
+    """Array-speed global-max quantization, exact ``quantize_file`` semantics
+    (reference indexing/quantize.py:13-47): ``scale = (2^b - 1) / max``,
+    ``q = trunc(v * scale)`` in float64, zero-quantized postings dropped."""
+    store = ImpactStore(input_path)
+    if store.quantized:
+        raise ValueError(f"{input_path} is already quantized")
+    values = np.asarray(store.values)
+    if max_val is None:
+        max_val = float(values.max()) if values.size else 1.0
+    scale = ((1 << bits) - 1) / max_val
+    q = np.trunc(values * scale)
+    keep = q > 0
+    doc_of = np.repeat(np.arange(store.num_docs, dtype=np.int64), store.counts)
+    out = Path(output_path)
+    out.mkdir(parents=True, exist_ok=True)
+    np.bincount(doc_of[keep], minlength=store.num_docs).astype(np.int32).tofile(
+        out / _COUNTS
+    )
+    np.asarray(store.term_ids)[keep].tofile(out / _TERM_IDS)
+    q[keep].astype(np.uint8).tofile(out / _VALUES)
+    with open(out / _VOCAB, "w", encoding="utf-8") as f:
+        for term in store.vocab:
+            f.write(term + "\n")
+    meta = {
+        "version": 1,
+        "num_docs": int(store.num_docs),
+        "num_postings": int(keep.sum()),
+        "quantized": True,
+        "bits": int(bits),
+        "max_val": float(max_val),
+    }
+    with open(out / _META, "w") as f:
+        json.dump(meta, f)
+    return float(max_val)
+
+
+def store_to_forward_text(store: Union[ImpactStore, PathLike], out_path: PathLike) -> None:
+    """Write the store as the reference text forward index — byte-identical
+    to what the text pipeline produces for the same documents
+    (forward_index.format_line / format_quantized_line)."""
+    if not isinstance(store, ImpactStore):
+        store = ImpactStore(store)
+    vocab = store.vocab
+    offsets = store.offsets
+    ids_list = np.asarray(store.term_ids).tolist()
+    if store.quantized:
+        vals_list = np.asarray(store.values).tolist()
+        pair = "{}: {}".format
+    else:
+        vals_list = [repr(v) for v in np.asarray(store.values).tolist()]
+        pair = "{}: {}".format
+    with open(out_path, "w", encoding="utf-8") as f:
+        for d in range(store.num_docs):
+            s, e = int(offsets[d]), int(offsets[d + 1])
+            f.write(
+                ", ".join(
+                    pair(vocab[t], v)
+                    for t, v in zip(ids_list[s:e], vals_list[s:e])
+                )
+            )
+            f.write("\n")
+
+
+def store_from_forward_text(
+    input_path: PathLike, output_path: PathLike, quantized: bool = False
+) -> ImpactStore:
+    """Convert a reference-format text forward index into a store (pays the
+    text parse once; every later stage then runs at array speed)."""
+    from .forward_index import iter_forward_index
+
+    with ImpactStoreWriter(output_path, quantized=quantized) as w:
+        if quantized:
+            for _, impacts in iter_forward_index(input_path):
+                w.add_doc([(t, int(v)) for t, v in impacts.items()])
+        else:
+            for _, impacts in iter_forward_index(input_path):
+                w.add_doc(list(impacts.items()))
+    return ImpactStore(output_path)

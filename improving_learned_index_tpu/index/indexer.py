@@ -115,18 +115,39 @@ class Indexer:
     def index_to_file(
         self,
         collection_path: PathLike,
-        output_file_path: PathLike,
+        output_file_path: Optional[PathLike] = None,
         collection_type: str = "msmarco",
         log_every: int = 10000,
+        store_path: Optional[PathLike] = None,
     ) -> int:
-        """Write the forward index ("term: score" lines, reference format).
+        """Encode the collection to a forward index.  ``output_file_path``
+        writes the reference text format ("term: score" lines); ``store_path``
+        writes the binary impact store (index/impact_store.py) that the
+        quantize/invert stages consume at array speed — either or both.
         Returns documents processed."""
+        if output_file_path is None and store_path is None:
+            raise ValueError("need output_file_path and/or store_path")
+        from contextlib import nullcontext
+
+        from .impact_store import ImpactStoreWriter
+
         start = time.time()
         count = 0
         docs = (passage for _, passage in stream_collection(collection_path, collection_type))
-        with open(output_file_path, "w", encoding="utf-8") as out:
+        out_cm = (
+            open(output_file_path, "w", encoding="utf-8")
+            if output_file_path is not None
+            else nullcontext(None)
+        )
+        store_cm = (
+            ImpactStoreWriter(store_path) if store_path is not None else nullcontext(None)
+        )
+        with out_cm as out, store_cm as store:
             for term_impacts in self.encode_documents(docs):
-                out.write(format_line(term_impacts, self.config.round_decimals) + "\n")
+                if out is not None:
+                    out.write(format_line(term_impacts, self.config.round_decimals) + "\n")
+                if store is not None:
+                    store.add_doc(term_impacts)
                 count += 1
                 if count % log_every == 0:
                     rate = count / (time.time() - start)

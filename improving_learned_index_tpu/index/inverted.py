@@ -132,7 +132,18 @@ class InvertedIndexData:
                 c_val[fill] = v
                 fill += 1
         chunks.append((c_tid[:fill], c_doc[:fill], c_val[:fill]))
+        return cls._finalize(terms, chunks, num_docs, max_doc)
 
+    @classmethod
+    def _finalize(
+        cls,
+        terms: List[str],
+        chunks: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+        num_docs: int,
+        max_doc: int,
+    ) -> "InvertedIndexData":
+        """Shared CSR construction from typed posting chunks
+        (tid int32 insertion-order, doc uint32, impact uint8)."""
         # Re-map term ids to sorted-vocab order (reference vocab.txt is sorted).
         order = np.argsort(terms, kind="stable")
         sorted_vocab = [terms[i] for i in order]
@@ -194,6 +205,42 @@ class InvertedIndexData:
         from .forward_index import iter_forward_index
 
         return cls.build(iter_forward_index(index_path), num_docs=num_docs)
+
+    @classmethod
+    def from_impact_store(cls, store) -> "InvertedIndexData":
+        """Array-speed build from a quantized binary impact store
+        (index/impact_store.py) — no text parse; the result is byte-identical
+        on save() to the text pipeline's index for the same corpus."""
+        from .impact_store import ImpactStore
+
+        if not isinstance(store, ImpactStore):
+            store = ImpactStore(store)
+        if not store.quantized:
+            raise ValueError(
+                "from_impact_store needs a quantized store (run quantize_store "
+                "first; the inverted index holds uint8 impacts)"
+            )
+        ids = np.ascontiguousarray(store.term_ids, dtype=np.int32)
+        vals = np.ascontiguousarray(store.values, dtype=np.uint8)
+        docs = np.repeat(
+            np.arange(store.num_docs, dtype=np.uint32), store.counts
+        )
+        # Text-path semantics: the index vocab is the terms that OCCUR in the
+        # quantized input (quantize drops all-zero terms from the text, so
+        # they never reach the creator) — compact away store vocab entries
+        # with no postings.
+        vocab = list(store.vocab)
+        occurs = np.bincount(ids, minlength=len(vocab)).astype(bool) if len(ids) else np.zeros(len(vocab), bool)
+        if not occurs.all():
+            new_id = np.cumsum(occurs, dtype=np.int64) - 1
+            ids = new_id[ids].astype(np.int32)
+            vocab = [t for t, keep in zip(vocab, occurs) if keep]
+        return cls._finalize(
+            vocab,
+            [(ids, docs, vals)],
+            num_docs=store.num_docs,
+            max_doc=store.num_docs - 1,
+        )
 
     # -- serialization (reference binary layout) -------------------------------
     def save(self, output_path: PathLike) -> None:

@@ -1,0 +1,146 @@
+"""Binary impact-store fast path: byte-parity with the reference text
+pipeline at every stage (store <-> text forward index, array quantize vs
+quantize_file, final .dat/.idx/vocab from either path)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from improving_learned_index_tpu.index import InvertedIndexData, format_line, quantize_file
+from improving_learned_index_tpu.index.impact_store import (
+    ImpactStore,
+    ImpactStoreWriter,
+    is_impact_store,
+    quantize_store,
+    store_from_forward_text,
+    store_to_forward_text,
+)
+
+TERMS = ["apple", "banana", "cherry", "négociation", "x|y", "##ing", ":", "zz"]
+
+
+def _rand_docs(n_docs=40, seed=0):
+    """Per-doc unique (term, float impact) lists, incl. an empty doc and a
+    term whose every impact quantizes to zero (vocab-compaction case)."""
+    rng = random.Random(seed)
+    docs = []
+    for d in range(n_docs):
+        if d == 7:
+            docs.append([])  # empty document line
+            continue
+        terms = rng.sample(TERMS, rng.randint(1, len(TERMS) - 1))
+        doc = [(t, rng.uniform(0.001, 4.0)) for t in terms if t != "zz"]
+        if "zz" in terms:
+            doc.append(("zz", rng.uniform(1e-5, 1e-4)))  # always -> q == 0
+        docs.append(doc)
+    return docs
+
+
+def _write_both(tmp_path, docs):
+    """Write the same docs the way Indexer.index_to_file does: text via
+    format_line, binary via ImpactStoreWriter."""
+    text = tmp_path / "fwd.txt"
+    with open(text, "w", encoding="utf-8") as f, ImpactStoreWriter(
+        tmp_path / "fwd.store"
+    ) as w:
+        for doc in docs:
+            f.write(format_line(doc) + "\n")
+            w.add_doc(doc)
+    return text, tmp_path / "fwd.store"
+
+
+def test_store_roundtrip_reader(tmp_path):
+    docs = _rand_docs()
+    _, store_path = _write_both(tmp_path, docs)
+    assert is_impact_store(store_path)
+    store = ImpactStore(store_path)
+    assert store.num_docs == len(docs)
+    got = dict(store.iter_docs())
+    for d, doc in enumerate(docs):
+        assert got[d] == {t: round(float(v), 3) for t, v in doc}
+
+
+def test_store_to_text_matches_format_line(tmp_path):
+    docs = _rand_docs(seed=1)
+    text, store_path = _write_both(tmp_path, docs)
+    out = tmp_path / "from_store.txt"
+    store_to_forward_text(store_path, out)
+    assert out.read_bytes() == text.read_bytes()
+
+
+def test_quantize_store_byte_parity_with_quantize_file(tmp_path):
+    docs = _rand_docs(seed=2)
+    text, store_path = _write_both(tmp_path, docs)
+    qtext = tmp_path / "fwd.q.txt"
+    max_text = quantize_file(text, qtext)
+    qstore = tmp_path / "fwd.q.store"
+    max_store = quantize_store(store_path, qstore)
+    assert max_store == max_text
+    out = tmp_path / "q_from_store.txt"
+    store_to_forward_text(qstore, out)
+    assert out.read_bytes() == qtext.read_bytes()
+
+
+def test_final_index_byte_parity(tmp_path):
+    docs = _rand_docs(seed=3)
+    text, store_path = _write_both(tmp_path, docs)
+    qtext = tmp_path / "fwd.q.txt"
+    quantize_file(text, qtext)
+    qstore = tmp_path / "fwd.q.store"
+    quantize_store(store_path, qstore)
+
+    idx_text = InvertedIndexData.from_forward_index(qtext)
+    idx_store = InvertedIndexData.from_impact_store(qstore)
+    # "zz" only ever quantizes to 0 -> absent from both vocabs
+    assert "zz" not in idx_text.term_to_id
+    assert idx_text.vocab == idx_store.vocab
+
+    out_text, out_store = tmp_path / "inv_text", tmp_path / "inv_store"
+    idx_text.save(out_text)
+    idx_store.save(out_store)
+    for name in ("inverted_index.dat", "inverted_index.idx", "vocab.txt"):
+        assert (out_store / name).read_bytes() == (out_text / name).read_bytes(), name
+
+
+def test_invert_requires_quantized_store(tmp_path):
+    _, store_path = _write_both(tmp_path, _rand_docs(seed=4))
+    with pytest.raises(ValueError, match="quantized"):
+        InvertedIndexData.from_impact_store(store_path)
+
+
+def test_store_from_forward_text_converter(tmp_path):
+    docs = _rand_docs(seed=5)
+    text, _ = _write_both(tmp_path, docs)
+    store = store_from_forward_text(text, tmp_path / "conv.store")
+    out = tmp_path / "conv_back.txt"
+    store_to_forward_text(store, out)
+    assert out.read_bytes() == text.read_bytes()
+
+
+def test_cli_pipeline_with_store(tmp_path):
+    """quantize + invert CLIs accept store directories and produce the same
+    final index as the text CLIs."""
+    from improving_learned_index_tpu.cli import invert as invert_cli
+    from improving_learned_index_tpu.cli import quantize as quantize_cli
+
+    docs = _rand_docs(seed=6)
+    text, store_path = _write_both(tmp_path, docs)
+
+    qtext = tmp_path / "q.txt"
+    qstore = tmp_path / "q.store"
+    parity_text = tmp_path / "q_parity.txt"
+    assert quantize_cli.main(["-i", str(text), "-o", str(qtext)]) == 0
+    assert (
+        quantize_cli.main(
+            ["-i", str(store_path), "-o", str(qstore), "--text_out", str(parity_text)]
+        )
+        == 0
+    )
+    assert parity_text.read_bytes() == qtext.read_bytes()
+
+    inv_text, inv_store = tmp_path / "inv_t", tmp_path / "inv_s"
+    assert invert_cli.main(["-i", str(qtext), "-o", str(inv_text)]) == 0
+    assert invert_cli.main(["-i", str(qstore), "-o", str(inv_store)]) == 0
+    for name in ("inverted_index.dat", "inverted_index.idx", "vocab.txt"):
+        assert (inv_store / name).read_bytes() == (inv_text / name).read_bytes(), name
