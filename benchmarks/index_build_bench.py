@@ -3,11 +3,17 @@
 Runs the REAL pipeline — the same code paths as the CLIs — at 1M documents:
 
     synthetic collection.tsv
-      -> cli.index      (TPU encode -> forward index text, indexer.py)
+      -> cli.index      (TPU encode -> binary impact store, indexer.py;
+                         --pipeline text writes the reference text format)
       -> cli.quantize   (global-max 8-bit quantize, byte-parity w/ reference)
-      -> cli.invert     (streamed radix build + slab-serialized binary index)
+      -> cli.invert     (radix build + slab-serialized binary index)
       -> InvertedIndexData.load + HybridSearchEngine init
       -> 64-query exact-top-k batches
+
+The default ``store`` pipeline moves impacts between stages as flat arrays
+(index/impact_store.py) — same final .dat/.idx/vocab bytes as the ``text``
+pipeline (proven in tests/test_impact_store.py), without re-parsing ~9 bytes
+of text per posting per stage on the single host core.
 
 and records per-stage wall-clock and peak host RSS into
 benchmarks/INDEX_BUILD.json.  Reference capability: MSMARCO-scale offline
@@ -92,6 +98,9 @@ def main(argv=None) -> int:
     parser.add_argument("--max_length", type=int, default=64)
     parser.add_argument("--model_batch_size", type=int, default=512)
     parser.add_argument("--query_batches", type=int, default=10)
+    parser.add_argument("--pipeline", choices=["store", "text"], default="store",
+                        help="inter-stage format: binary impact store (fast) "
+                        "or reference text (parity path)")
     args = parser.parse_args(argv)
 
     from improving_learned_index_tpu.cli import build_vocab, index as cli_index
@@ -122,17 +131,23 @@ def main(argv=None) -> int:
         "--max_size", "32000", "--min_freq", "1",
     ]))
 
-    fwd = work / "collection.index"
+    if args.pipeline == "store":
+        fwd = work / "collection.store"
+        out_flag = ["--store_path", str(fwd)]
+        quant = work / "collection.qstore"
+    else:
+        fwd = work / "collection.index"
+        out_flag = ["--output_file_path", str(fwd)]
+        quant = work / "collection.quantized"
     stage("encode_tpu", lambda: cli_index.main([
         "--vocab_path", str(vocab_path),
         "--collection_path", str(coll),
-        "--output_file_path", str(fwd),
+        *out_flag,
         "--model_kind", "deepimpact",
         "--max_length", str(args.max_length),
         "--model_batch_size", str(args.model_batch_size),
     ]))
 
-    quant = work / "collection.quantized"
     stage("quantize", lambda: cli_quantize.main(["-i", str(fwd), "-o", str(quant)]))
 
     inv_dir = work / "inverted"
@@ -170,6 +185,7 @@ def main(argv=None) -> int:
     print(f"[queries] {n_q} queries in {dt:.1f}s = {n_q / dt:.1f} q/s", flush=True)
 
     report = {
+        "pipeline": args.pipeline,
         "n_docs": args.n_docs,
         "n_terms": len(index.vocab),
         "n_postings": index.num_postings,

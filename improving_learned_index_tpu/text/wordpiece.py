@@ -56,13 +56,30 @@ class WordPieceVocab:
         Whole words that fit the budget become single tokens; everything else
         decomposes to characters (guaranteeing no UNK for seen characters).
         """
+        # Count in joined chunks: normalize maps the "\n" joiners to spaces
+        # and pretokenize splits on whitespace, so a chunk yields exactly the
+        # concatenation of the per-text term streams — but the Python-level
+        # work (normalize, findall, Counter.update) runs once per ~1000 texts
+        # instead of once per text.  This is the host-side cost of the
+        # hermetic vocab stage (no reference equivalent; the reference
+        # downloads HF vocabularies).
         word_counts: Counter = Counter()
-        char_set = set()
+        _CHUNK = 1000
+        batch: list = []
         for text in texts:
-            for term in pretokenize(normalize(text, lowercase=lowercase)):
-                word_counts[term] += 1
-                for i, ch in enumerate(term):
-                    char_set.add(ch if i == 0 else f"##{ch}")
+            batch.append(text)
+            if len(batch) == _CHUNK:
+                word_counts.update(pretokenize(normalize("\n".join(batch), lowercase=lowercase)))
+                batch = []
+        if batch:
+            word_counts.update(pretokenize(normalize("\n".join(batch), lowercase=lowercase)))
+        # The character alphabet depends only on the set of DISTINCT words —
+        # derive it there, not per occurrence.
+        char_set = set()
+        for term in word_counts:
+            char_set.add(term[0])
+            for ch in term[1:]:
+                char_set.add(f"##{ch}")
         tokens = list(SPECIAL_TOKENS)
         tokens.extend(sorted(char_set))
         seen = set(tokens)
