@@ -28,6 +28,10 @@ def main(argv=None) -> int:
                         "for the quantize/invert stages)")
     parser.add_argument("--model_batch_size", type=int, default=32)
     parser.add_argument("--max_terms", type=int, default=None)
+    parser.add_argument("--resume", action="store_true",
+                        help="continue a run killed mid-encode: outputs are "
+                        "repaired to the last consistent document and "
+                        "encoding restarts there")
     args = parser.parse_args(argv)
     if args.output_file_path is None and args.store_path is None:
         parser.error("need --output_file_path and/or --store_path")
@@ -44,6 +48,7 @@ def main(argv=None) -> int:
         args.output_file_path,
         args.collection_type,
         store_path=args.store_path,
+        resume=args.resume,
     )
     dest = " + ".join(str(p) for p in (args.output_file_path, args.store_path) if p)
     print(f"indexed {n} documents -> {dest}")

@@ -55,9 +55,21 @@ def is_impact_store(path: PathLike) -> bool:
 
 
 class ImpactStoreWriter:
-    """Streaming writer: one ``add_doc`` per document, O(1) memory."""
+    """Streaming writer: one ``add_doc`` per document, O(1) memory.
 
-    def __init__(self, path: PathLike, quantized: bool = False, bits: int = 8):
+    Crash-safe for resume: each flush appends new vocab terms BEFORE the
+    posting arrays (so every flushed term id resolves), and ``resume=True``
+    reopens a store left by a dead writer, truncating any torn final flush
+    back to the last consistent document (``resume_docs`` tells the caller
+    how many documents are already present)."""
+
+    def __init__(
+        self,
+        path: PathLike,
+        quantized: bool = False,
+        bits: int = 8,
+        resume: bool = False,
+    ):
         self.path = Path(path)
         self.path.mkdir(parents=True, exist_ok=True)
         self.quantized = quantized
@@ -69,11 +81,79 @@ class ImpactStoreWriter:
         self._vals: List[np.ndarray] = []
         self._buffered = 0
         self._num_postings = 0
+        self._vocab_flushed = 0
         self._val_dtype = np.uint8 if quantized else np.float64
-        self._f_counts = open(self.path / _COUNTS, "wb")
-        self._f_ids = open(self.path / _TERM_IDS, "wb")
-        self._f_vals = open(self.path / _VALUES, "wb")
+        self.resume_docs = 0
+        if resume and (self.path / _COUNTS).exists():
+            self.resume_docs = self._repair()
+        mode = "ab" if resume else "wb"
+        self._f_counts = open(self.path / _COUNTS, mode)
+        self._f_ids = open(self.path / _TERM_IDS, mode)
+        self._f_vals = open(self.path / _VALUES, mode)
+        if not resume:
+            # a fresh writer invalidates any stale vocab/meta from a
+            # previous run in the same directory
+            for name in (_VOCAB, _META):
+                (self.path / name).unlink(missing_ok=True)
         self._closed = False
+
+    def _repair(self) -> int:
+        """Truncate a possibly-torn store to its last consistent document;
+        reload the vocab.  Returns the number of intact documents."""
+        vocab_path = self.path / _VOCAB
+        if vocab_path.exists():
+            with open(vocab_path, encoding="utf-8") as f:
+                data = f.read()
+            # drop a torn final line (no trailing newline)
+            if data and not data.endswith("\n"):
+                data = data[: data.rfind("\n") + 1]
+                with open(vocab_path, "w", encoding="utf-8") as f:
+                    f.write(data)
+            terms = data.splitlines()
+            self._tid = {t: i for i, t in enumerate(terms)}
+            self._vocab_flushed = len(terms)
+        item = np.dtype(self._val_dtype).itemsize
+        n_counts = (self.path / _COUNTS).stat().st_size // 4
+        n_ids = (self.path / _TERM_IDS).stat().st_size // 4
+        n_vals = (self.path / _VALUES).stat().st_size // item
+        counts = np.fromfile(self.path / _COUNTS, np.int32, count=n_counts)
+        avail = min(n_ids, n_vals)
+        cum = np.cumsum(counts, dtype=np.int64)
+        n_docs = int(np.searchsorted(cum, avail, side="right"))
+        keep = int(cum[n_docs - 1]) if n_docs else 0
+        self.truncate_to(n_docs, counts=counts, keep_postings=keep)
+        if keep:
+            ids = np.fromfile(self.path / _TERM_IDS, np.int32, count=keep)
+            if ids.size and int(ids.max()) >= self._vocab_flushed:
+                raise ValueError(
+                    f"{self.path}: term ids reference beyond the recovered "
+                    "vocab — store is corrupt, rebuild from scratch"
+                )
+        self._num_postings = keep
+        return n_docs
+
+    def truncate_to(
+        self,
+        n_docs: int,
+        counts: Optional[np.ndarray] = None,
+        keep_postings: Optional[int] = None,
+    ) -> None:
+        """Truncate the on-disk arrays to the first ``n_docs`` documents
+        (vocab may stay a superset; unused terms are compacted away by
+        InvertedIndexData.from_impact_store)."""
+        import os
+
+        if counts is None:
+            n_counts = (self.path / _COUNTS).stat().st_size // 4
+            counts = np.fromfile(self.path / _COUNTS, np.int32, count=n_counts)
+        if keep_postings is None:
+            keep_postings = int(counts[:n_docs].sum())
+        item = np.dtype(self._val_dtype).itemsize
+        os.truncate(self.path / _COUNTS, 4 * n_docs)
+        os.truncate(self.path / _TERM_IDS, 4 * keep_postings)
+        os.truncate(self.path / _VALUES, item * keep_postings)
+        self._num_postings = int(keep_postings)
+        self.resume_docs = int(n_docs)
 
     def add_doc(self, term_impacts: Sequence[Tuple[str, float]]) -> None:
         """Add one document's (term, impact) pairs (terms unique per doc,
@@ -114,6 +194,9 @@ class ImpactStoreWriter:
             self._flush()
 
     def _flush(self) -> None:
+        # vocab FIRST: every term id flushed below must resolve after a
+        # crash (resume reads vocab to rebuild the id map)
+        self._flush_vocab()
         if self._counts:
             np.asarray(self._counts, np.int32).tofile(self._f_counts)
             self._counts = []
@@ -123,15 +206,23 @@ class ImpactStoreWriter:
             self._ids, self._vals = [], []
         self._buffered = 0
 
+    def _flush_vocab(self) -> None:
+        if len(self._tid) == self._vocab_flushed:
+            return
+        new_terms = list(self._tid)[self._vocab_flushed:]
+        with open(self.path / _VOCAB, "a", encoding="utf-8") as f:
+            for term in new_terms:
+                f.write(term + "\n")
+        self._vocab_flushed = len(self._tid)
+
     def close(self) -> None:
         if self._closed:
             return
         self._flush()
         for f in (self._f_counts, self._f_ids, self._f_vals):
             f.close()
-        with open(self.path / _VOCAB, "w", encoding="utf-8") as f:
-            for term in self._tid:
-                f.write(term + "\n")
+        if not (self.path / _VOCAB).exists():
+            (self.path / _VOCAB).touch()
         meta = {
             "version": 1,
             "num_docs": int(

@@ -40,6 +40,60 @@ def _tokenize_producer(model, docs: Iterator[str], batch_size: int, queue: Queue
     queue.put(None)
 
 
+def _repair_text_forward(path: PathLike) -> int:
+    """Truncate a torn final line (crash mid-write) and return the number of
+    complete lines.  Chunked scan: O(bytes), O(1) memory."""
+    import os
+
+    p = Path(path)
+    if not p.exists():
+        return 0
+    size = p.stat().st_size
+    lines = 0
+    last_nl_end = 0
+    with open(p, "rb") as f:
+        pos = 0
+        while True:
+            chunk = f.read(1 << 24)
+            if not chunk:
+                break
+            n = chunk.count(b"\n")
+            if n:
+                lines += n
+                last_nl_end = pos + chunk.rfind(b"\n") + 1
+            pos += len(chunk)
+    if last_nl_end != size:
+        os.truncate(p, last_nl_end)
+    return lines
+
+
+def _truncate_text_forward(path: PathLike, n_lines: int) -> None:
+    """Truncate the file to its first ``n_lines`` lines."""
+    import os
+
+    if n_lines <= 0:
+        os.truncate(path, 0)
+        return
+    remaining = n_lines
+    offset = 0
+    with open(path, "rb") as f:
+        while remaining:
+            chunk = f.read(1 << 24)
+            if not chunk:
+                raise ValueError(f"{path} has fewer than {n_lines} lines")
+            n = chunk.count(b"\n")
+            if n >= remaining:
+                at = -1
+                for _ in range(remaining):
+                    at = chunk.find(b"\n", at + 1)
+                offset += at + 1
+                remaining = 0
+            else:
+                remaining -= n
+                offset += len(chunk)
+    os.truncate(path, offset)
+
+
 class Indexer:
     """Streams a collection through the encoder, emitting per-document
     (term, impact) lists — to a forward-index file, or accumulated in memory
@@ -119,30 +173,54 @@ class Indexer:
         collection_type: str = "msmarco",
         log_every: int = 10000,
         store_path: Optional[PathLike] = None,
+        resume: bool = False,
     ) -> int:
         """Encode the collection to a forward index.  ``output_file_path``
         writes the reference text format ("term: score" lines); ``store_path``
         writes the binary impact store (index/impact_store.py) that the
         quantize/invert stages consume at array speed — either or both.
-        Returns documents processed."""
+
+        ``resume=True`` continues a run killed mid-encode: both outputs are
+        repaired to their last consistent document (torn tail lines/flushes
+        truncated, dual outputs synced to the shorter one) and encoding
+        restarts from there — re-encoding zero completed documents.  The
+        reference indexer restarts corpus encodes from scratch.
+
+        Returns total documents in the output(s)."""
         if output_file_path is None and store_path is None:
             raise ValueError("need output_file_path and/or store_path")
         from contextlib import nullcontext
+        from itertools import islice
 
         from .impact_store import ImpactStoreWriter
+
+        done = 0
+        store = None
+        if store_path is not None:
+            store = ImpactStoreWriter(store_path, resume=resume)
+            done = store.resume_docs
+        if output_file_path is not None:
+            done_text = _repair_text_forward(output_file_path) if resume else 0
+            if store is not None and done_text != done:
+                done = min(done, done_text)
+                store.truncate_to(done)
+                _truncate_text_forward(output_file_path, done)
+            else:
+                done = done_text
+        if done:
+            logger.info(f"resuming at document {done}")
 
         start = time.time()
         count = 0
         docs = (passage for _, passage in stream_collection(collection_path, collection_type))
+        docs = islice(docs, done, None) if done else docs
         out_cm = (
-            open(output_file_path, "w", encoding="utf-8")
+            open(output_file_path, "a" if resume else "w", encoding="utf-8")
             if output_file_path is not None
             else nullcontext(None)
         )
-        store_cm = (
-            ImpactStoreWriter(store_path) if store_path is not None else nullcontext(None)
-        )
-        with out_cm as out, store_cm as store:
+        store_cm = store if store is not None else nullcontext(None)
+        with out_cm as out, store_cm:
             for term_impacts in self.encode_documents(docs):
                 if out is not None:
                     out.write(format_line(term_impacts, self.config.round_decimals) + "\n")
@@ -152,7 +230,7 @@ class Indexer:
                 if count % log_every == 0:
                     rate = count / (time.time() - start)
                     logger.info(f"indexed {count} passages [{rate:.2f} passages/s]")
-        return count
+        return done + count
 
     def build_inverted(
         self,

@@ -51,9 +51,11 @@ class InvertedIndexData:
         assert doc_ids.shape == impacts.shape
         self.vocab = vocab
         self.term_to_id: Dict[str, int] = {t: i for i, t in enumerate(vocab)}
-        self.offsets = offsets.astype(np.int64)
-        self.doc_ids = doc_ids.astype(np.uint32)
-        self.impacts = impacts.astype(np.uint8)
+        # ascontiguousarray: no copy when dtype/layout already match (astype
+        # always copies — 2x the .dat bytes transiently at corpus scale)
+        self.offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+        self.doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint32)
+        self.impacts = np.ascontiguousarray(impacts, dtype=np.uint8)
         # Zero-quantized postings: never scored (the reference reader stops at
         # the first zero impact, inverted_index.py:49-51) but written to .dat
         # by the reference creator (create.py:41-46 writes every int(val),
@@ -320,13 +322,23 @@ class InvertedIndexData:
         # sort; the reference reader never scores them) into the side CSR so
         # a save() round-trips byte-for-bit.
         impacts = records["impact"]
+        if impacts.all():
+            # Common case — an index written by quantize (which drops zeros)
+            # has no zero-impact records: the scored CSR IS the file, no
+            # prefix-sum split needed.
+            return cls(
+                vocab,
+                full_offsets,
+                records["doc_id"].copy(),
+                impacts.copy(),
+                num_docs=num_docs,
+            )
         nonzero = impacts != 0
         nz_pref = np.zeros(len(records) + 1, dtype=np.int64)
         np.cumsum(nonzero, out=nz_pref[1:])
         offsets = nz_pref[full_offsets]
-        z_pref = np.zeros(len(records) + 1, dtype=np.int64)
-        np.cumsum(~nonzero, out=z_pref[1:])
-        zero_offsets = z_pref[full_offsets]
+        # zeros-before-k = k - nonzeros-before-k: no second cumsum
+        zero_offsets = full_offsets - offsets
         return cls(
             vocab,
             offsets,
