@@ -244,6 +244,57 @@ class InvertedIndexData:
             max_doc=store.num_docs - 1,
         )
 
+    @classmethod
+    def merge(
+        cls,
+        indexes: Sequence["InvertedIndexData"],
+        doc_offsets: Sequence[int] = None,
+    ) -> "InvertedIndexData":
+        """Merge indexes built over disjoint corpus shards into one index —
+        incremental indexing: encode only the NEW documents, build their
+        index, merge with the existing one (the reference can only rebuild
+        from scratch: inverted_index/create.py re-reads the whole corpus).
+
+        ``doc_offsets[i]`` is added to every doc id of ``indexes[i]``
+        (default: cumulative ``num_docs``, i.e. shards are consecutive
+        slices).  The result is byte-identical on save() to an index built
+        over the concatenated corpus in one shot: within a (term, impact)
+        group doc ids ascend because shard i's ids all precede shard i+1's
+        and each shard is already doc-ascending there.
+        """
+        if doc_offsets is None:
+            doc_offsets = np.concatenate(
+                ([0], np.cumsum([ix.num_docs for ix in indexes])[:-1])
+            ).tolist()
+        vocab = sorted(set().union(*(ix.vocab for ix in indexes)))
+        vocab_arr = np.array(vocab)
+        chunks: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        for ix, off in zip(indexes, doc_offsets):
+            if len(ix.vocab) == 0:
+                continue
+            remap = np.searchsorted(vocab_arr, np.array(ix.vocab)).astype(np.int64)
+            n_main = np.diff(ix.offsets)
+            tid = np.repeat(remap, n_main).astype(np.int32)
+            chunks.append((tid, (ix.doc_ids + off).astype(np.uint32), ix.impacts))
+            n_zero = np.diff(ix.zero_offsets)
+            if n_zero.sum():
+                ztid = np.repeat(remap, n_zero).astype(np.int32)
+                chunks.append(
+                    (
+                        ztid,
+                        (ix.zero_doc_ids + off).astype(np.uint32),
+                        np.zeros(len(ztid), np.uint8),
+                    )
+                )
+        if not chunks:
+            chunks.append(
+                (np.empty(0, np.int32), np.empty(0, np.uint32), np.empty(0, np.uint8))
+            )
+        total_docs = max(
+            (off + ix.num_docs for ix, off in zip(indexes, doc_offsets)), default=0
+        )
+        return cls._finalize(vocab, chunks, num_docs=total_docs, max_doc=total_docs - 1)
+
     # -- serialization (reference binary layout) -------------------------------
     def save(self, output_path: PathLike) -> None:
         out = Path(output_path)
