@@ -295,6 +295,56 @@ class InvertedIndexData:
         )
         return cls._finalize(vocab, chunks, num_docs=total_docs, max_doc=total_docs - 1)
 
+    def filter_docs(self, keep_mask: np.ndarray) -> "InvertedIndexData":
+        """Remove documents without a corpus rebuild (dedup, takedowns,
+        shard re-balancing).  ``keep_mask`` is bool[num_docs]; surviving
+        documents renumber compactly, so the result is byte-identical on
+        save() to a one-shot build over the kept corpus.  No reference
+        equivalent (create.py can only rebuild).  O(postings) array work."""
+        keep_mask = np.asarray(keep_mask, dtype=bool)
+        assert keep_mask.shape == (self.num_docs,), (
+            f"mask shape {keep_mask.shape} != ({self.num_docs},)"
+        )
+        new_id = np.cumsum(keep_mask, dtype=np.int64) - 1
+        nvocab = len(self.vocab)
+
+        def _filter(offsets, doc_ids, values=None):
+            pk = keep_mask[doc_ids]
+            term_of = np.repeat(np.arange(nvocab), np.diff(offsets))
+            counts = np.bincount(term_of[pk], minlength=nvocab)
+            out = np.zeros(nvocab + 1, np.int64)
+            np.cumsum(counts, out=out[1:])
+            docs = new_id[doc_ids[pk]].astype(np.uint32)
+            return out, docs, (values[pk] if values is not None else None)
+
+        offsets, doc_ids, impacts = _filter(self.offsets, self.doc_ids, self.impacts)
+        zero_offsets, zero_doc_ids, _ = _filter(self.zero_offsets, self.zero_doc_ids)
+        # one-shot-build parity: terms left with no postings at all drop
+        occurs = (np.diff(offsets) + np.diff(zero_offsets)) > 0
+        if not occurs.all():
+            vocab = [t for t, k in zip(self.vocab, occurs) if k]
+            keep_terms = np.flatnonzero(occurs)
+            keep_plus = np.concatenate((keep_terms, [nvocab]))
+            offsets = offsets[keep_plus]
+            zero_offsets = zero_offsets[keep_plus]
+        else:
+            vocab = list(self.vocab)
+        return InvertedIndexData(
+            vocab,
+            offsets,
+            doc_ids,
+            impacts,
+            num_docs=int(keep_mask.sum()),
+            zero_offsets=zero_offsets,
+            zero_doc_ids=zero_doc_ids,
+        )
+
+    def delete_docs(self, doc_ids: Sequence[int]) -> "InvertedIndexData":
+        """``filter_docs`` convenience: drop the given doc ids."""
+        keep = np.ones(self.num_docs, dtype=bool)
+        keep[np.asarray(list(doc_ids), dtype=np.int64)] = False
+        return self.filter_docs(keep)
+
     # -- serialization (reference binary layout) -------------------------------
     def save(self, output_path: PathLike) -> None:
         out = Path(output_path)
