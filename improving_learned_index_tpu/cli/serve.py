@@ -1,0 +1,79 @@
+"""CLI: retrieval serving daemon — load the index once, serve queries over
+TCP with dynamic micro-batching (serve/server.py; no reference equivalent —
+the reference only ships the batch rank CLI).
+
+    python -m improving_learned_index_tpu.cli.serve \
+        --index_path inverted/ --vocab_path vocab.txt --port 7700 \
+        --engine auto --max_batch 64 --max_wait_ms 5
+
+    echo '{"id": 1, "query": "quick brown foxes"}' | nc localhost 7700
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+from ..search.select import build_engine
+from ..serve import RetrievalServer
+from .common import add_model_args, build_tokenizer
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_model_args(parser)
+    parser.add_argument("--index_path", type=Path, required=True)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=7700)
+    parser.add_argument("--engine",
+                        choices=["auto", "device", "hybrid", "host", "native"],
+                        default="auto")
+    parser.add_argument("--num_docs", type=int, default=0)
+    parser.add_argument("--top_k", type=int, default=1000)
+    parser.add_argument("--max_batch", type=int, default=64)
+    parser.add_argument("--max_wait_ms", type=float, default=5.0)
+    parser.add_argument("--pairwise", action="store_true")
+    parser.add_argument("--dense_budget_gb", type=float, default=4.0)
+    parser.add_argument("--use_pallas", action="store_true")
+    parser.add_argument("--allow_remote_shutdown", action="store_true",
+                        help="honor {\"op\": \"shutdown\"} requests")
+    parser.add_argument("--no_warmup", action="store_true",
+                        help="skip the startup warmup batch (first request "
+                        "pays the jit compile instead)")
+    args = parser.parse_args(argv)
+
+    engine = build_engine(
+        args.index_path,
+        engine=args.engine,
+        dense_budget_bytes=int(args.dense_budget_gb * (1 << 30)),
+        use_pallas=args.use_pallas,
+        num_docs=args.num_docs,
+    )
+    tokenizer = None
+    if args.vocab_path or args.hf_tokenizer:
+        tokenizer = build_tokenizer(args)
+    if not args.no_warmup:
+        # compile the serving batch shape before accepting traffic
+        vocab = getattr(engine, "vocab", None)
+        terms = {next(iter(vocab))} if vocab else {"warmup"}
+        engine.score_batch([terms] * args.max_batch, min(args.top_k, 10))
+        print("warmup batch done")
+    server = RetrievalServer(
+        engine,
+        tokenizer=tokenizer,
+        top_k=args.top_k,
+        max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms,
+        pairwise=args.pairwise,
+        host=args.host,
+        port=args.port,
+        allow_shutdown=args.allow_remote_shutdown,
+    )
+    server.start()
+    print(f"serving {args.index_path} on {args.host}:{server.port}")
+    server.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

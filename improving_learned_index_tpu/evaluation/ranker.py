@@ -16,9 +16,7 @@ from typing import Optional, Union
 
 from ..core.logging import get_logger
 from ..data.datasets import Queries, QueryRelevanceDataset, RunFile
-from ..index.inverted import InvertedIndexData
-from ..search.device_engine import DeviceSearchEngine
-from ..search.engine import InvertedIndex
+from ..search.select import build_engine
 
 logger = get_logger("ranker")
 
@@ -49,43 +47,15 @@ class Ranker:
         self.pairwise = pairwise
         self.batch_size = batch_size
         self.top_k = top_k
-        if engine == "native":
-            from ..search.native import NativeSearchEngine
-
-            self.engine = NativeSearchEngine(index_path)
-        else:
-            index = InvertedIndexData.load(index_path)
-            if engine == "auto":
-                # measured-best default per corpus size (search.select):
-                # hybrid at corpus scale, device for small eval corpora
-                from ..search.select import choose_engine
-
-                engine = choose_engine(int(index.num_docs))
-                logger.info(
-                    f"auto-selected engine '{engine}' for "
-                    f"{int(index.num_docs)} docs"
-                )
-            if engine == "device":
-                from ..core.config import SearchConfig
-
-                self.engine = DeviceSearchEngine(
-                    index, SearchConfig(approx_top_k=approx_top_k)
-                )
-            elif engine == "hybrid":
-                # corpus-scale TPU path: dense heavy-term matmul + exact
-                # integer top-k (search.hybrid_engine)
-                from ..core.config import SearchConfig
-                from ..search.hybrid_engine import HybridSearchEngine
-
-                self.engine = HybridSearchEngine(
-                    index, SearchConfig(approx_top_k=approx_top_k),
-                    dense_budget_bytes=dense_budget_bytes,
-                    use_pallas=use_pallas,
-                )
-            elif engine == "host":
-                self.engine = InvertedIndex(index)
-            else:
-                raise ValueError(f"unknown engine {engine!r}")
+        # measured-best default per corpus size (search.select): hybrid at
+        # corpus scale, device for small eval corpora
+        self.engine = build_engine(
+            index_path,
+            engine=engine,
+            approx_top_k=approx_top_k,
+            dense_budget_bytes=dense_budget_bytes,
+            use_pallas=use_pallas,
+        )
         self.run_file = RunFile(output_path)
 
     def get_query_terms(self, qid: str):

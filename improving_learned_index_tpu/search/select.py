@@ -38,3 +38,48 @@ def choose_engine(num_docs: int, integer_scores: bool = True) -> str:
     corpus of ``num_docs`` documents with the given score lattice."""
     bound = HYBRID_MIN_DOCS_QUANTIZED if integer_scores else HYBRID_MIN_DOCS
     return "hybrid" if num_docs >= bound else "device"
+
+
+def build_engine(
+    index_path,
+    engine: str = "auto",
+    approx_top_k: bool = False,
+    dense_budget_bytes: int = 4 << 30,
+    use_pallas: bool = False,
+    num_docs: int = 0,
+):
+    """Construct a query engine from a saved index — the one construction
+    path shared by the rank CLI, the serving daemon, and library users.
+    ``engine``: auto | device | hybrid | host | native."""
+    if engine == "native":
+        from .native import NativeSearchEngine
+
+        return NativeSearchEngine(index_path)
+    from ..core.config import SearchConfig
+    from ..core.logging import get_logger
+    from ..index.inverted import InvertedIndexData
+
+    index = InvertedIndexData.load(index_path, num_docs=num_docs)
+    if engine == "auto":
+        engine = choose_engine(int(index.num_docs))
+        get_logger("select").info(
+            f"auto-selected engine '{engine}' for {int(index.num_docs)} docs"
+        )
+    if engine == "device":
+        from .device_engine import DeviceSearchEngine
+
+        return DeviceSearchEngine(index, SearchConfig(approx_top_k=approx_top_k))
+    if engine == "hybrid":
+        from .hybrid_engine import HybridSearchEngine
+
+        return HybridSearchEngine(
+            index,
+            SearchConfig(approx_top_k=approx_top_k),
+            dense_budget_bytes=dense_budget_bytes,
+            use_pallas=use_pallas,
+        )
+    if engine == "host":
+        from .engine import InvertedIndex
+
+        return InvertedIndex(index)
+    raise ValueError(f"unknown engine {engine!r}")

@@ -1,0 +1,269 @@
+"""Retrieval serving daemon: load the index once, serve queries over TCP
+with dynamic micro-batching.
+
+The reference has no serving process — its rank.py is a batch CLI over a
+query file.  Production serving on TPU wants the opposite shape: a
+long-lived process (engine init + compile cost paid once, docs/SERVING.md)
+that coalesces concurrently-arriving single queries into device batches —
+per-query dispatch wastes the chip; a batch of 64 costs barely more than a
+batch of 1 (benchmarks/latency_bench.py).
+
+Protocol: newline-delimited JSON over TCP.
+
+    -> {"id": 7, "query": "quick brown foxes"}        tokenizer-side terms
+    -> {"id": 8, "terms": ["quick", "brown"], "k": 10}  pre-processed terms
+    -> {"op": "ping"} | {"op": "stats"}
+    <- {"id": 7, "results": [[doc_id, score], ...]}
+    <- {"id": 8, "error": "..."}
+
+Batching: requests queue up; a dispatch fires when ``max_batch`` queries
+are waiting or the oldest has waited ``max_wait_ms``.  Engines are the
+same objects the rank CLI uses (``score_batch(term_sets, k)``), so every
+engine — hybrid/device/sharded on TPU, host/native on CPU — serves
+unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import threading
+import time
+from collections import deque
+from itertools import product
+from typing import List, Optional, Tuple
+
+from ..core.logging import get_logger
+
+logger = get_logger("serve")
+
+
+class _Stats:
+    def __init__(self, maxlen: int = 4096):
+        self.lock = threading.Lock()
+        self.queries = 0
+        self.batches = 0
+        self.errors = 0
+        self.latencies_ms = deque(maxlen=maxlen)
+        self.started = time.time()
+
+    def record_batch(self, n: int, per_query_ms: List[float]) -> None:
+        with self.lock:
+            self.queries += n
+            self.batches += 1
+            self.latencies_ms.extend(per_query_ms)
+
+    def snapshot(self) -> dict:
+        with self.lock:
+            lat = sorted(self.latencies_ms)
+            q = lambda p: round(lat[min(int(p * len(lat)), len(lat) - 1)], 2) if lat else None
+            return {
+                "queries": self.queries,
+                "batches": self.batches,
+                "errors": self.errors,
+                "uptime_s": round(time.time() - self.started, 1),
+                "latency_ms": {"p50": q(0.50), "p95": q(0.95), "p99": q(0.99)},
+            }
+
+
+class RetrievalServer:
+    """TCP serving loop around any ``score_batch`` engine."""
+
+    def __init__(
+        self,
+        engine,
+        tokenizer=None,
+        top_k: int = 1000,
+        max_batch: int = 64,
+        max_wait_ms: float = 5.0,
+        pairwise: bool = False,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        allow_shutdown: bool = False,
+    ):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self.top_k = top_k
+        self.max_batch = max_batch
+        self.max_wait_ms = max_wait_ms
+        self.pairwise = pairwise
+        self.allow_shutdown = allow_shutdown
+        self._host, self._requested_port = host, port
+        self.port: Optional[int] = None
+        self.stats = _Stats()
+        self._queue: deque = deque()  # (conn, lock, req, t_enqueue)
+        self._queue_cv = threading.Condition()
+        self._stop = threading.Event()
+        self._sock: Optional[socket.socket] = None
+        self._threads: List[threading.Thread] = []
+
+    # -- lifecycle ---------------------------------------------------------
+    def start(self) -> int:
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind((self._host, self._requested_port))
+        self._sock.listen(128)
+        self.port = self._sock.getsockname()[1]
+        for target in (self._accept_loop, self._batch_loop):
+            t = threading.Thread(target=target, daemon=True)
+            t.start()
+            self._threads.append(t)
+        logger.info(f"serving on {self._host}:{self.port}")
+        return self.port
+
+    def stop(self) -> None:
+        self._stop.set()
+        with self._queue_cv:
+            self._queue_cv.notify_all()
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+        for t in self._threads:
+            t.join(timeout=5)
+
+    def serve_forever(self) -> None:
+        if self.port is None:
+            self.start()
+        try:
+            while not self._stop.is_set():
+                time.sleep(0.2)
+        except KeyboardInterrupt:
+            pass
+        finally:
+            self.stop()
+
+    # -- network -----------------------------------------------------------
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._sock.accept()
+            except OSError:
+                return  # socket closed by stop()
+            conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            t = threading.Thread(target=self._conn_loop, args=(conn,), daemon=True)
+            t.start()
+
+    def _conn_loop(self, conn: socket.socket) -> None:
+        send_lock = threading.Lock()
+        f = conn.makefile("rb")
+        try:
+            for line in f:
+                if not line.strip():
+                    continue
+                try:
+                    req = json.loads(line)
+                except json.JSONDecodeError as e:
+                    self._send(conn, send_lock, {"error": f"bad json: {e}"})
+                    with self.stats.lock:
+                        self.stats.errors += 1
+                    continue
+                op = req.get("op")
+                if op == "ping":
+                    self._send(conn, send_lock, {"op": "pong"})
+                elif op == "stats":
+                    self._send(conn, send_lock, {"op": "stats", **self.stats.snapshot()})
+                elif op == "shutdown":
+                    if self.allow_shutdown:
+                        self._send(conn, send_lock, {"op": "bye"})
+                        self._stop.set()
+                        with self._queue_cv:
+                            self._queue_cv.notify_all()
+                        return
+                    self._send(conn, send_lock, {"error": "shutdown not allowed"})
+                else:
+                    with self._queue_cv:
+                        self._queue.append((conn, send_lock, req, time.time()))
+                        self._queue_cv.notify()
+        except (OSError, ValueError):
+            pass
+        finally:
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    @staticmethod
+    def _send(conn, lock, obj) -> None:
+        data = (json.dumps(obj) + "\n").encode()
+        try:
+            with lock:
+                conn.sendall(data)
+        except OSError:
+            pass  # client went away
+
+    # -- batching ----------------------------------------------------------
+    def _take_batch(self) -> List[Tuple]:
+        """Block until work, then collect up to max_batch requests, waiting
+        at most max_wait_ms past the first for stragglers."""
+        with self._queue_cv:
+            while not self._queue and not self._stop.is_set():
+                self._queue_cv.wait(timeout=0.2)
+            if self._stop.is_set():
+                return []
+            deadline = self._queue[0][3] + self.max_wait_ms / 1e3
+            while len(self._queue) < self.max_batch:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    break
+                self._queue_cv.wait(timeout=remaining)
+            out = []
+            while self._queue and len(out) < self.max_batch:
+                out.append(self._queue.popleft())
+            return out
+
+    def _terms_of(self, req: dict) -> set:
+        if "terms" in req:
+            terms = set(map(str, req["terms"]))
+        elif "query" in req:
+            if self.tokenizer is None:
+                raise ValueError("server has no tokenizer; send 'terms'")
+            terms = self.tokenizer.process_query(str(req["query"]))
+        else:
+            raise ValueError("need 'terms' or 'query'")
+        if self.pairwise:
+            for t1, t2 in product(list(terms), list(terms)):
+                if t1 != t2:
+                    terms.add(f"{t1}|{t2}")
+        return terms
+
+    def _batch_loop(self) -> None:
+        while not self._stop.is_set():
+            batch = self._take_batch()
+            if not batch:
+                continue
+            term_sets, live, k = [], [], 1
+            for conn, lock, req, t0 in batch:
+                try:
+                    term_sets.append(self._terms_of(req))
+                    live.append((conn, lock, req, t0))
+                    k = max(k, int(req.get("k", self.top_k)))
+                except Exception as e:
+                    self._send(conn, lock, {"id": req.get("id"), "error": str(e)})
+                    with self.stats.lock:
+                        self.stats.errors += 1
+            if not live:
+                continue
+            try:
+                results = self.engine.score_batch(term_sets, k)
+            except Exception as e:
+                logger.error(f"score_batch failed: {e}")
+                for conn, lock, req, t0 in live:
+                    self._send(conn, lock, {"id": req.get("id"), "error": f"engine: {e}"})
+                with self.stats.lock:
+                    self.stats.errors += len(live)
+                continue
+            now = time.time()
+            lat = []
+            for (conn, lock, req, t0), scores in zip(live, results):
+                want_k = int(req.get("k", self.top_k))
+                self._send(
+                    conn, lock,
+                    {
+                        "id": req.get("id"),
+                        "results": [[int(d), float(s)] for d, s in scores[:want_k]],
+                    },
+                )
+                lat.append((now - t0) * 1e3)
+            self.stats.record_batch(len(live), lat)

@@ -1,0 +1,160 @@
+"""Serving daemon: protocol, dynamic batching, concurrency, parity with
+direct engine calls."""
+
+import json
+import socket
+import threading
+
+import pytest
+
+from improving_learned_index_tpu.index.inverted import InvertedIndexData
+from improving_learned_index_tpu.search.engine import InvertedIndex
+from improving_learned_index_tpu.serve import RetrievalServer
+
+DOCS = [
+    {"apple": 200, "banana": 100},
+    {"apple": 150, "cherry": 50},
+    {"banana": 250, "cherry": 10, "apple": 5},
+    {"date": 77},
+]
+
+
+class _FakeTokenizer:
+    def process_query(self, q):
+        return set(q.split())
+
+
+def _index():
+    return InvertedIndexData.build(enumerate(DOCS), num_docs=len(DOCS))
+
+
+class _Client:
+    def __init__(self, port):
+        self.sock = socket.create_connection(("127.0.0.1", port), timeout=10)
+        self.f = self.sock.makefile("rb")
+
+    def call(self, req):
+        self.sock.sendall((json.dumps(req) + "\n").encode())
+        return json.loads(self.f.readline())
+
+    def send_raw(self, data: bytes):
+        self.sock.sendall(data)
+
+    def recv(self):
+        return json.loads(self.f.readline())
+
+    def close(self):
+        self.sock.close()
+
+
+@pytest.fixture()
+def server():
+    engine = InvertedIndex(_index())
+    srv = RetrievalServer(
+        engine, tokenizer=_FakeTokenizer(), top_k=10, max_batch=4,
+        max_wait_ms=10.0, allow_shutdown=True,
+    )
+    srv.start()
+    yield srv, engine
+    srv.stop()
+
+
+def test_terms_query_ping_stats(server):
+    srv, engine = server
+    c = _Client(srv.port)
+    assert c.call({"op": "ping"}) == {"op": "pong"}
+
+    r = c.call({"id": 1, "terms": ["apple", "banana"]})
+    expect = engine.score_batch([{"apple", "banana"}], 10)[0]
+    assert r["id"] == 1
+    assert r["results"] == [[int(d), float(s)] for d, s in expect]
+
+    r = c.call({"id": "q2", "query": "cherry date"})
+    expect = engine.score_batch([{"cherry", "date"}], 10)[0]
+    assert r["id"] == "q2" and r["results"] == [[int(d), float(s)] for d, s in expect]
+
+    st = c.call({"op": "stats"})
+    assert st["queries"] == 2 and st["batches"] >= 1
+    assert st["latency_ms"]["p50"] is not None
+    c.close()
+
+
+def test_k_override_and_unknown_terms(server):
+    srv, _ = server
+    c = _Client(srv.port)
+    r = c.call({"id": 5, "terms": ["apple"], "k": 1})
+    assert len(r["results"]) == 1 and r["results"][0][0] == 0
+    r = c.call({"id": 6, "terms": ["nosuchterm"]})
+    assert r["results"] == []
+    c.close()
+
+
+def test_errors(server):
+    srv, _ = server
+    c = _Client(srv.port)
+    c.send_raw(b"this is not json\n")
+    assert "bad json" in c.recv()["error"]
+    r = c.call({"id": 9})
+    assert "need 'terms' or 'query'" in r["error"]
+    c.close()
+
+
+def test_concurrent_clients_batch_and_agree(server):
+    srv, engine = server
+    n = 24
+    results = {}
+    lock = threading.Lock()
+
+    def worker(i):
+        c = _Client(srv.port)
+        r = c.call({"id": i, "terms": ["apple", "cherry"]})
+        with lock:
+            results[i] = r
+        c.close()
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=20)
+    expect = [[int(d), float(s)] for d, s in engine.score_batch([{"apple", "cherry"}], 10)[0]]
+    assert len(results) == n
+    for i in range(n):
+        assert results[i]["id"] == i and results[i]["results"] == expect
+    # 24 queries through max_batch=4 must have coalesced into >1 per batch
+    st = srv.stats.snapshot()
+    assert st["queries"] >= n
+    assert st["batches"] <= st["queries"]
+
+
+def test_pairwise_expansion():
+    idx = InvertedIndexData.build(
+        enumerate([{"a": 1, "a|b": 7, "b": 2}]), num_docs=1
+    )
+    srv = RetrievalServer(InvertedIndex(idx), top_k=5, pairwise=True, max_wait_ms=1.0)
+    srv.start()
+    try:
+        c = _Client(srv.port)
+        r = c.call({"id": 0, "terms": ["a", "b"]})
+        assert r["results"] == [[0, 10.0]]  # 1 + 2 + composite 7
+        c.close()
+    finally:
+        srv.stop()
+
+
+def test_shutdown_op(server):
+    srv, _ = server
+    c = _Client(srv.port)
+    assert c.call({"op": "shutdown"}) == {"op": "bye"}
+    c.close()
+
+
+def test_shutdown_refused_by_default():
+    srv = RetrievalServer(InvertedIndex(_index()), max_wait_ms=1.0)
+    srv.start()
+    try:
+        c = _Client(srv.port)
+        assert "not allowed" in c.call({"op": "shutdown"})["error"]
+        c.close()
+    finally:
+        srv.stop()
