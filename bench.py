@@ -195,20 +195,29 @@ def measure_queries():
     return qps, qps / base
 
 
-def _relay_reachable() -> bool:
-    """Fail fast if the axon TPU relay daemon is down (nothing listening on
-    its first port): jax.devices() would otherwise hang forever and the
-    round's bench window would be spent blocked, not failing cleanly."""
+def _relay_reachable(retry_s: float = 300.0) -> bool:
+    """Fail fast-ish if the axon TPU relay daemon is down (nothing listening
+    on its first port): jax.devices() would otherwise hang forever and the
+    round's bench window would be spent blocked, not failing cleanly.  A
+    flapping relay gets ``retry_s`` seconds to come back before we give up
+    (probing a closed port is free; only jax clients must never be killed
+    mid-RPC)."""
     import os
     import socket
+    import time
 
     if not os.environ.get("PALLAS_AXON_POOL_IPS"):
         return True  # not an axon environment; let jax pick its backend
-    try:
-        with socket.create_connection(("127.0.0.1", 8082), timeout=5):
-            return True
-    except OSError:
-        return False
+    deadline = time.time() + retry_s
+    while True:
+        try:
+            with socket.create_connection(("127.0.0.1", 8082), timeout=5):
+                return True
+        except OSError:
+            if time.time() >= deadline:
+                return False
+            print("TPU relay port closed; retrying for up to 5 min...", file=sys.stderr)
+            time.sleep(15)
 
 
 def main():
