@@ -49,6 +49,26 @@ _VALUES = "values.bin"
 _FLUSH_POSTINGS = 1 << 22
 
 
+def _exact_round3(v: np.ndarray) -> np.ndarray:
+    """Vectorized round-to-3-decimals that matches Python ``round(x, 3)``
+    bit-for-bit.
+
+    ``rint(v*1000)/1000`` (half-even, like round) decides identically to the
+    exact decimal rounding except when the f64 product ``v*1000`` lands
+    within its own rounding error of a half boundary; those few values
+    (measure: ~1e-6 of uniformly-distributed inputs) fall back to Python's
+    correctly-rounded ``round``.  Needed because the text pipeline's values
+    are ``float(repr(round(v, 3)))`` — byte parity of the final index
+    requires the store to hold the identical doubles."""
+    y = v * 1000.0
+    out = np.rint(y) / 1000.0
+    near = np.abs(y - np.floor(y) - 0.5) < 1e-6
+    if near.any():
+        for i in np.flatnonzero(near):
+            out[i] = round(float(v[i]), 3)
+    return out
+
+
 def is_impact_store(path: PathLike) -> bool:
     p = Path(path)
     return p.is_dir() and (p / _META).exists()
@@ -154,6 +174,22 @@ class ImpactStoreWriter:
         os.truncate(self.path / _VALUES, item * keep_postings)
         self._num_postings = int(keep_postings)
         self.resume_docs = int(n_docs)
+
+    def add_doc_row(self, terms: Sequence[str], values: np.ndarray) -> None:
+        """Vectorized ``add_doc`` for the encode hot loop: term list + score
+        row straight from the device batch, no per-term tuple building.
+        Stores exactly ``round(float(v), 3)`` per value (same as add_doc /
+        the text writer) via ``_exact_round3``."""
+        tid = self._tid
+        n = len(terms)
+        ids = np.fromiter(
+            (tid.setdefault(t, len(tid)) for t in terms), np.int32, count=n
+        )
+        if self.quantized:
+            vals = np.asarray(values[:n], self._val_dtype)
+        else:
+            vals = _exact_round3(np.asarray(values[:n], np.float64))
+        self._append(ids, vals)
 
     def add_doc(self, term_impacts: Sequence[Tuple[str, float]]) -> None:
         """Add one document's (term, impact) pairs (terms unique per doc,

@@ -106,8 +106,17 @@ class Indexer:
     def encode_documents(
         self, documents: Iterable[str]
     ) -> Iterator[List[Tuple[str, float]]]:
-        """Yield [(term, impact), ...] per document, overlapping host
-        tokenization with device compute via a bounded queue.
+        """Yield [(term, impact), ...] per document."""
+        for doc_terms, row in self.encode_document_rows(documents):
+            yield [(t, float(row[j])) for j, t in enumerate(doc_terms)]
+
+    def encode_document_rows(
+        self, documents: Iterable[str]
+    ) -> Iterator[Tuple[List[str], np.ndarray]]:
+        """Yield (terms, impact_row) per document — the raw batch-output
+        shape, overlapping host tokenization with device compute via a
+        bounded queue.  The hot path for store writes: no per-term tuple
+        building (~13us/doc at 44 terms).
 
         Models with composite postings (DeepPairwiseImpact emits
         ``term1|term2`` entries, reference pairwise_impact.py:97-129) go
@@ -115,14 +124,21 @@ class Indexer:
         from ..models.pairwise import DeepPairwiseImpact
 
         if isinstance(self.model, DeepPairwiseImpact):
+            def rows(pairs_batch):
+                for pairs in pairs_batch:
+                    yield (
+                        [t for t, _ in pairs],
+                        np.asarray([v for _, v in pairs], np.float64),
+                    )
+
             batch: List[str] = []
             for doc in documents:
                 batch.append(doc)
                 if len(batch) == self.config.model_batch_size:
-                    yield from self.model.get_impact_scores_batch(batch)
+                    yield from rows(self.model.get_impact_scores_batch(batch))
                     batch = []
             if batch:
-                yield from self.model.get_impact_scores_batch(batch)
+                yield from rows(self.model.get_impact_scores_batch(batch))
             return
 
         queue: Queue = Queue(maxsize=4)
@@ -144,7 +160,7 @@ class Indexer:
             scores, terms = entry
             scores = np.asarray(scores)
             for i, doc_terms in enumerate(terms):
-                yield [(t, float(scores[i, j])) for j, t in enumerate(doc_terms)]
+                yield doc_terms, scores[i]
 
         while True:
             batch = queue.get()
@@ -221,11 +237,17 @@ class Indexer:
         )
         store_cm = store if store is not None else nullcontext(None)
         with out_cm as out, store_cm:
-            for term_impacts in self.encode_documents(docs):
+            for doc_terms, row in self.encode_document_rows(docs):
                 if out is not None:
-                    out.write(format_line(term_impacts, self.config.round_decimals) + "\n")
+                    out.write(
+                        format_line(
+                            [(t, float(row[j])) for j, t in enumerate(doc_terms)],
+                            self.config.round_decimals,
+                        )
+                        + "\n"
+                    )
                 if store is not None:
-                    store.add_doc(term_impacts)
+                    store.add_doc_row(doc_terms, row)
                 count += 1
                 if count % log_every == 0:
                     rate = count / (time.time() - start)

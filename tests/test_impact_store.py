@@ -50,6 +50,37 @@ def _write_both(tmp_path, docs):
     return text, tmp_path / "fwd.store"
 
 
+def test_exact_round3_matches_python_round():
+    from improving_learned_index_tpu.index.impact_store import _exact_round3
+
+    rng = np.random.default_rng(0)
+    vals = np.concatenate([
+        rng.gamma(2.0, 0.35, size=200_000),
+        rng.uniform(0, 100, size=200_000),
+        # adversarial: exact and near half-boundaries at 3 decimals
+        np.array([0.0005, 0.0015, 0.0025, 1.0005, 2.6755, 0.57350001,
+                  0.5734999999, 12.3455, 0.1235, 0.0, 255.0004999]),
+        np.float64(np.random.default_rng(1).gamma(2, 0.35, 50_000).astype(np.float32)),
+    ])
+    got = _exact_round3(vals)
+    for v, g in zip(vals.tolist(), got.tolist()):
+        assert g == round(v, 3), (v, g, round(v, 3))
+
+
+def test_add_doc_row_equals_add_doc(tmp_path):
+    rng = np.random.default_rng(2)
+    terms = [f"t{i}" for i in range(40)]
+    rows = [rng.gamma(2.0, 0.35, size=40).astype(np.float32) for _ in range(50)]
+    a = ImpactStoreWriter(tmp_path / "a")
+    b = ImpactStoreWriter(tmp_path / "b")
+    for row in rows:
+        a.add_doc([(t, float(v)) for t, v in zip(terms, row)])
+        b.add_doc_row(terms, row)
+    a.close(); b.close()
+    for f in ("counts.bin", "term_ids.bin", "values.bin", "vocab.txt"):
+        assert (tmp_path / "a" / f).read_bytes() == (tmp_path / "b" / f).read_bytes(), f
+
+
 def test_store_roundtrip_reader(tmp_path):
     docs = _rand_docs()
     _, store_path = _write_both(tmp_path, docs)
