@@ -327,34 +327,55 @@ def quantize_store(
     output_path: PathLike,
     max_val: Optional[float] = None,
     bits: int = 8,
+    doc_block: int = 1 << 20,
 ) -> float:
     """Array-speed global-max quantization, exact ``quantize_file`` semantics
     (reference indexing/quantize.py:13-47): ``scale = (2^b - 1) / max``,
-    ``q = trunc(v * scale)`` in float64, zero-quantized postings dropped."""
+    ``q = trunc(v * scale)`` in float64, zero-quantized postings dropped.
+
+    Processes ``doc_block`` documents at a time over the memory-mapped
+    store, so host RSS stays ~25 B/posting-in-block regardless of corpus
+    size (40M-doc corpora would otherwise need the full posting arrays in
+    RAM at once)."""
     store = ImpactStore(input_path)
     if store.quantized:
         raise ValueError(f"{input_path} is already quantized")
-    values = np.asarray(store.values)
+    n_docs = store.num_docs
     if max_val is None:
-        max_val = float(values.max()) if values.size else 1.0
+        max_val = 0.0
+        for lo in range(0, store.num_postings, 64 << 20):
+            chunk = store.values[lo : lo + (64 << 20)]
+            if chunk.size:
+                max_val = max(max_val, float(np.max(chunk)))
+        if max_val == 0.0:
+            max_val = 1.0
     scale = ((1 << bits) - 1) / max_val
-    q = np.trunc(values * scale)
-    keep = q > 0
-    doc_of = np.repeat(np.arange(store.num_docs, dtype=np.int64), store.counts)
     out = Path(output_path)
     out.mkdir(parents=True, exist_ok=True)
-    np.bincount(doc_of[keep], minlength=store.num_docs).astype(np.int32).tofile(
-        out / _COUNTS
-    )
-    np.asarray(store.term_ids)[keep].tofile(out / _TERM_IDS)
-    q[keep].astype(np.uint8).tofile(out / _VALUES)
+    total_kept = 0
+    with open(out / _COUNTS, "wb") as fc, open(out / _TERM_IDS, "wb") as fi, open(
+        out / _VALUES, "wb"
+    ) as fv:
+        for d0 in range(0, n_docs, doc_block):
+            d1 = min(d0 + doc_block, n_docs)
+            s, e = int(store.offsets[d0]), int(store.offsets[d1])
+            counts = store.counts[d0:d1].astype(np.int64)
+            q = np.trunc(np.asarray(store.values[s:e]) * scale)
+            keep = q > 0
+            doc_of = np.repeat(np.arange(d1 - d0, dtype=np.int64), counts)
+            np.bincount(doc_of[keep], minlength=d1 - d0).astype(np.int32).tofile(fc)
+            np.asarray(store.term_ids[s:e])[keep].tofile(fi)
+            q[keep].astype(np.uint8).tofile(fv)
+            total_kept += int(keep.sum())
+        if n_docs == 0:
+            pass  # empty store: zero-length files are the correct output
     with open(out / _VOCAB, "w", encoding="utf-8") as f:
         for term in store.vocab:
             f.write(term + "\n")
     meta = {
         "version": 1,
-        "num_docs": int(store.num_docs),
-        "num_postings": int(keep.sum()),
+        "num_docs": int(n_docs),
+        "num_postings": total_kept,
         "quantized": True,
         "bits": int(bits),
         "max_val": float(max_val),

@@ -113,6 +113,15 @@ def test_quantize_store_byte_parity_with_quantize_file(tmp_path):
     assert out.read_bytes() == qtext.read_bytes()
 
 
+def test_quantize_store_chunked_matches_monolithic(tmp_path):
+    docs = _rand_docs(seed=7)
+    _, store_path = _write_both(tmp_path, docs)
+    quantize_store(store_path, tmp_path / "q_big")
+    quantize_store(store_path, tmp_path / "q_small", doc_block=3)
+    for f in ("counts.bin", "term_ids.bin", "values.bin", "meta.json", "vocab.txt"):
+        assert (tmp_path / "q_small" / f).read_bytes() == (tmp_path / "q_big" / f).read_bytes(), f
+
+
 def test_final_index_byte_parity(tmp_path):
     docs = _rand_docs(seed=3)
     text, store_path = _write_both(tmp_path, docs)
