@@ -149,45 +149,78 @@ class InvertedIndexData:
         # Re-map term ids to sorted-vocab order (reference vocab.txt is sorted).
         order = np.argsort(terms, kind="stable")
         sorted_vocab = [terms[i] for i in order]
-        remap = np.empty(max(len(terms), 1), dtype=np.int64)
-        remap[order] = np.arange(len(terms))
+        nvocab = len(sorted_vocab)
+        # The (term asc, impact desc, doc asc) order comes from stable
+        # LSD-radix passes.  numpy's kind="stable" argsort only IS a radix
+        # sort for <=16-bit integers (0.9s/44M keys); for wider ints it
+        # falls back to a comparison sort (9s/44M).  So: vocab <= 65536 →
+        # two true radix passes on uint8 impact then uint16 tid; larger
+        # vocabs → one combined `tid*256 + (255-impact)` key at the
+        # narrowest dtype that fits.
+        radix16 = nvocab <= (1 << 16)
+        if radix16:
+            tid_dtype = np.uint16
+        elif nvocab * 256 + 255 < (1 << 31):
+            tid_dtype = np.int32
+        else:
+            tid_dtype = np.int64
+        remap = np.empty(max(len(terms), 1), dtype=tid_dtype)
+        remap[order] = np.arange(len(terms), dtype=tid_dtype)
 
         n = sum(len(c[0]) for c in chunks)
-        nvocab = len(sorted_vocab)
-        # combined sort key (term asc, impact desc); doc order rides on
-        # argsort stability.  21 B/posting transient: key 8 + doc 4 + val 1 +
-        # order index 8.
-        key = np.empty(n, np.int64)
+        tid_arr = np.empty(n, tid_dtype)
         doc_arr = np.empty(n, np.uint32)
         val_arr = np.empty(n, np.uint8)
         nz_counts = np.zeros(nvocab, np.int64)
         z_counts = np.zeros(nvocab, np.int64)
+        has_zeros = False
         at = 0
         while chunks:
             ct, cd, cv = chunks.pop(0)
             m = len(ct)
             tid_sorted = remap[ct]
-            key[at : at + m] = tid_sorted * 256 + (255 - cv)
+            tid_arr[at : at + m] = tid_sorted
             doc_arr[at : at + m] = cd
             val_arr[at : at + m] = cv
-            nz_counts += np.bincount(tid_sorted[cv > 0], minlength=nvocab)
-            z_counts += np.bincount(tid_sorted[cv == 0], minlength=nvocab)
+            if (cv == 0).any():
+                has_zeros = True
+                nz_counts += np.bincount(tid_sorted[cv > 0], minlength=nvocab)
+                z_counts += np.bincount(tid_sorted[cv == 0], minlength=nvocab)
+            else:
+                nz_counts += np.bincount(tid_sorted, minlength=nvocab)
             at += m
 
         if n:
-            # stable argsort on int keys is a radix sort in numpy — no tuple
-            # lexsort, no comparison sort
-            sort_idx = np.argsort(key, kind="stable")
-            del key
-            doc_arr = doc_arr[sort_idx]
-            val_arr = val_arr[sort_idx]
-            del sort_idx
+            if radix16:
+                o1 = np.argsort(255 - val_arr, kind="stable")  # impact desc
+                perm = o1[np.argsort(tid_arr[o1], kind="stable")]  # term asc
+                del o1
+            else:
+                key = tid_arr.astype(np.int64) * 256 + (255 - val_arr) \
+                    if tid_dtype == np.int64 \
+                    else tid_arr * np.int32(256) + (255 - val_arr).astype(np.int32)
+                perm = np.argsort(key, kind="stable")
+                del key
+            del tid_arr
+            doc_arr = doc_arr[perm]
+            val_arr = val_arr[perm]
+            del perm
 
         def _offsets(counts):
             out = np.zeros(nvocab + 1, dtype=np.int64)
             np.cumsum(counts, out=out[1:])
             return out
 
+        if not has_zeros:
+            # quantize drops zero impacts, so the common corpus pipeline
+            # never carries a zero side-CSR: skip the split masks entirely
+            return cls(
+                sorted_vocab,
+                _offsets(nz_counts),
+                doc_arr,
+                val_arr,
+                num_docs=max(num_docs, max_doc + 1),
+            )
         # zeros have the largest within-term key (255 - 0), so each term's
         # zero records form the segment tail: the sorted stream splits into
         # the two CSRs with one boolean mask
