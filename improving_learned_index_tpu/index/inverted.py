@@ -196,10 +196,12 @@ class InvertedIndexData:
                 perm = o1[np.argsort(tid_arr[o1], kind="stable")]  # term asc
                 del o1
             else:
+                from ..utils.sorting import radix_argsort
+
                 key = tid_arr.astype(np.int64) * 256 + (255 - val_arr) \
                     if tid_dtype == np.int64 \
                     else tid_arr * np.int32(256) + (255 - val_arr).astype(np.int32)
-                perm = np.argsort(key, kind="stable")
+                perm = radix_argsort(key)
                 del key
             del tid_arr
             doc_arr = doc_arr[perm]

@@ -124,7 +124,9 @@ class ShardedSearchEngine:
         M = max(V, self.t_heavy, 1)
         row_or_term = np.where(heavy_mask, row_of_all[term_of], term_of)
         key = (shard_of * 2 + (~heavy_mask)) * M + row_or_term
-        order = np.argsort(key, kind="stable")
+        from ..utils.sorting import radix_argsort
+
+        order = radix_argsort(key)
         s_docs = doc_ids[order]
         s_vals = impacts[order]
         s_key = key[order]

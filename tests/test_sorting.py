@@ -1,0 +1,31 @@
+"""radix_argsort: equivalence with numpy's stable argsort across key widths."""
+
+import numpy as np
+import pytest
+
+from improving_learned_index_tpu.utils.sorting import radix_argsort
+
+
+@pytest.mark.parametrize("hi", [1, 200, 60_000, 100_000, 1 << 22, 1 << 40])
+def test_matches_numpy_stable(hi):
+    rng = np.random.default_rng(hi)
+    key = rng.integers(0, hi, size=100_000, dtype=np.int64)
+    got = radix_argsort(key)
+    ref = np.argsort(key, kind="stable")
+    assert np.array_equal(got, ref)
+
+
+def test_empty_and_constant():
+    assert radix_argsort(np.empty(0, np.int64)).size == 0
+    key = np.full(1000, 7, np.int64)
+    assert np.array_equal(radix_argsort(key), np.arange(1000))
+
+
+def test_speed_sanity():
+    import time
+
+    rng = np.random.default_rng(0)
+    key = rng.integers(0, 30_000 * 256, size=4_000_000, dtype=np.int64)
+    t = time.time(); radix_argsort(key); fast = time.time() - t
+    t = time.time(); np.argsort(key, kind="stable"); slow = time.time() - t
+    assert fast < slow, (fast, slow)
