@@ -80,6 +80,7 @@ class RetrievalServer:
         host: str = "127.0.0.1",
         port: int = 0,
         allow_shutdown: bool = False,
+        max_queue: int = 4096,
     ):
         self.engine = engine
         self.tokenizer = tokenizer
@@ -88,6 +89,7 @@ class RetrievalServer:
         self.max_wait_ms = max_wait_ms
         self.pairwise = pairwise
         self.allow_shutdown = allow_shutdown
+        self.max_queue = max_queue
         self._host, self._requested_port = host, port
         self.port: Optional[int] = None
         self.stats = _Stats()
@@ -174,8 +176,21 @@ class RetrievalServer:
                     self._send(conn, send_lock, {"error": "shutdown not allowed"})
                 else:
                     with self._queue_cv:
-                        self._queue.append((conn, send_lock, req, time.time()))
-                        self._queue_cv.notify()
+                        if len(self._queue) >= self.max_queue:
+                            overloaded = True
+                        else:
+                            overloaded = False
+                            self._queue.append((conn, send_lock, req, time.time()))
+                            self._queue_cv.notify()
+                    if overloaded:
+                        # bounded back-pressure: shed load with an explicit
+                        # error instead of queueing unboundedly
+                        self._send(
+                            conn, send_lock,
+                            {"id": req.get("id"), "error": "overloaded"},
+                        )
+                        with self.stats.lock:
+                            self.stats.errors += 1
         except (OSError, ValueError):
             pass
         finally:

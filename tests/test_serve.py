@@ -116,7 +116,7 @@ def test_concurrent_clients_batch_and_agree(server):
     for t in threads:
         t.start()
     for t in threads:
-        t.join(timeout=20)
+        t.join(timeout=120)  # generous: the CI box is one contended core
     expect = [[int(d), float(s)] for d, s in engine.score_batch([{"apple", "cherry"}], 10)[0]]
     assert len(results) == n
     for i in range(n):
@@ -138,6 +138,51 @@ def test_pairwise_expansion():
         r = c.call({"id": 0, "terms": ["a", "b"]})
         assert r["results"] == [[0, 10.0]]  # 1 + 2 + composite 7
         c.close()
+    finally:
+        srv.stop()
+
+
+def test_client_disconnect_mid_batch(server):
+    """A client that vanishes before its response must not break the batch
+    for other clients."""
+    srv, engine = server
+    ghost = _Client(srv.port)
+    ghost.send_raw(b'{"id": "ghost", "terms": ["apple"]}\n')
+    ghost.close()  # gone before the batch dispatches
+    c = _Client(srv.port)
+    r = c.call({"id": "live", "terms": ["apple"]})
+    assert r["id"] == "live" and r["results"]
+    c.close()
+
+
+def test_overload_shedding():
+    import time as _time
+
+    class SlowEngine:
+        def __init__(self, inner):
+            self.inner = inner
+
+        def score_batch(self, term_sets, k):
+            _time.sleep(0.2)
+            return self.inner.score_batch(term_sets, k)
+
+    srv = RetrievalServer(
+        SlowEngine(InvertedIndex(_index())), top_k=5, max_batch=1,
+        max_wait_ms=0.0, max_queue=2,
+    )
+    srv.start()
+    try:
+        clients = [_Client(srv.port) for _ in range(8)]
+        for i, c in enumerate(clients):
+            c.send_raw(json.dumps({"id": i, "terms": ["apple"]}).encode() + b"\n")
+        replies = [c.recv() for c in clients]
+        shed = [r for r in replies if r.get("error") == "overloaded"]
+        served = [r for r in replies if "results" in r]
+        assert shed, "queue bound never tripped"
+        assert served, "nothing served"
+        assert len(shed) + len(served) == 8
+        for c in clients:
+            c.close()
     finally:
         srv.stop()
 
