@@ -194,6 +194,50 @@ def test_shutdown_op(server):
     c.close()
 
 
+def test_cli_serve_subprocess(tmp_path):
+    """cli.serve end-to-end in a real process: index + vocab from disk,
+    warmup, query over TCP, remote shutdown."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    _index().save(tmp_path / "inv")
+    (tmp_path / "vocab.txt").write_text(
+        "[PAD]\n[UNK]\n[CLS]\n[SEP]\n[MASK]\napple\nbanana\ncherry\ndate\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "improving_learned_index_tpu.cli.serve",
+            "--index_path", str(tmp_path / "inv"),
+            "--vocab_path", str(tmp_path / "vocab.txt"),
+            "--engine", "host", "--port", "0", "--top_k", "5",
+            "--max_wait_ms", "1", "--allow_remote_shutdown",
+        ],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        port = None
+        deadline = time.time() + 120
+        for line in proc.stdout:
+            if "serving" in line and ":" in line:
+                port = int(line.rsplit(":", 1)[1])
+                break
+            assert time.time() < deadline, "server never came up"
+        assert port, "no port line"
+        c = _Client(port)
+        r = c.call({"id": 1, "terms": ["apple", "banana"]})
+        assert r["results"] and r["results"][0][0] == 0
+        assert c.call({"op": "shutdown"}) == {"op": "bye"}
+        c.close()
+        assert proc.wait(timeout=60) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+
 def test_shutdown_refused_by_default():
     srv = RetrievalServer(InvertedIndex(_index()), max_wait_ms=1.0)
     srv.start()
