@@ -143,9 +143,15 @@ class InvertedIndexData:
         chunks: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],
         num_docs: int,
         max_doc: int,
+        compact: bool = False,
     ) -> "InvertedIndexData":
         """Shared CSR construction from typed posting chunks
-        (tid int32 insertion-order, doc uint32, impact uint8)."""
+        (tid int32 insertion-order, doc uint32, impact uint8).
+
+        ``compact=True`` drops vocab entries with zero postings (callers
+        passing a possibly-superset vocab, e.g. a quantized impact store);
+        empty terms occupy no keys, so compaction is a counts/vocab subset
+        after the per-term counting — no extra pass over the postings."""
         # Re-map term ids to sorted-vocab order (reference vocab.txt is sorted).
         order = np.argsort(terms, kind="stable")
         sorted_vocab = [terms[i] for i in order]
@@ -208,6 +214,14 @@ class InvertedIndexData:
             val_arr = val_arr[perm]
             del perm
 
+        if compact:
+            occurs = (nz_counts + z_counts) > 0
+            if not occurs.all():
+                sorted_vocab = [t for t, k in zip(sorted_vocab, occurs) if k]
+                nz_counts = nz_counts[occurs]
+                z_counts = z_counts[occurs]
+                nvocab = len(sorted_vocab)
+
         def _offsets(counts):
             out = np.zeros(nvocab + 1, dtype=np.int64)
             np.cumsum(counts, out=out[1:])
@@ -262,21 +276,16 @@ class InvertedIndexData:
         docs = np.repeat(
             np.arange(store.num_docs, dtype=np.uint32), store.counts
         )
-        # Text-path semantics: the index vocab is the terms that OCCUR in the
-        # quantized input (quantize drops all-zero terms from the text, so
-        # they never reach the creator) — compact away store vocab entries
-        # with no postings.
-        vocab = list(store.vocab)
-        occurs = np.bincount(ids, minlength=len(vocab)).astype(bool) if len(ids) else np.zeros(len(vocab), bool)
-        if not occurs.all():
-            new_id = np.cumsum(occurs, dtype=np.int64) - 1
-            ids = new_id[ids].astype(np.int32)
-            vocab = [t for t, keep in zip(vocab, occurs) if keep]
+        # Text-path semantics: the index vocab is the terms that OCCUR in
+        # the quantized input (quantize drops all-zero terms from the text,
+        # so they never reach the creator) — compact=True drops store vocab
+        # entries with no postings during counting, no extra posting pass.
         return cls._finalize(
-            vocab,
+            list(store.vocab),
             [(ids, docs, vals)],
             num_docs=store.num_docs,
             max_doc=store.num_docs - 1,
+            compact=True,
         )
 
     @classmethod
