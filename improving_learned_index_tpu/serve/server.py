@@ -20,7 +20,9 @@ Batching: requests queue up; a dispatch fires when ``max_batch`` queries
 are waiting or the oldest has waited ``max_wait_ms``.  Engines are the
 same objects the rank CLI uses (``score_batch(term_sets, k)``), so every
 engine — hybrid/device/sharded on TPU, host/native on CPU — serves
-unchanged.
+unchanged.  ``swap_engine`` replaces the engine atomically for live index
+updates (incremental merge/delete), and ``max_queue`` bounds memory under
+flood by shedding with explicit "overloaded" errors.
 """
 
 from __future__ import annotations
@@ -98,6 +100,16 @@ class RetrievalServer:
         self._stop = threading.Event()
         self._sock: Optional[socket.socket] = None
         self._threads: List[threading.Thread] = []
+
+    def swap_engine(self, engine, tokenizer=None) -> None:
+        """Atomically replace the serving engine (live index update: build
+        the new engine — e.g. after an incremental ``merge`` or
+        ``filter_docs`` — then swap; in-flight batches finish on the old
+        engine, the next batch uses the new one).  No restart, no dropped
+        requests."""
+        if tokenizer is not None:
+            self.tokenizer = tokenizer
+        self.engine = engine  # single attribute store: atomic under the GIL
 
     # -- lifecycle ---------------------------------------------------------
     def start(self) -> int:

@@ -194,6 +194,21 @@ def test_shutdown_op(server):
     c.close()
 
 
+def test_hot_swap_engine(server):
+    """Live index update: swap in an engine over a merged index; the next
+    request sees the new corpus, no restart."""
+    srv, _ = server
+    c = _Client(srv.port)
+    assert c.call({"id": 1, "terms": ["newterm"]})["results"] == []
+    bigger = InvertedIndexData.merge(
+        [_index(), InvertedIndexData.build(enumerate([{"newterm": 42}]), num_docs=1)]
+    )
+    srv.swap_engine(InvertedIndex(bigger))
+    r = c.call({"id": 2, "terms": ["newterm"]})
+    assert r["results"] == [[len(DOCS), 42.0]]
+    c.close()
+
+
 def test_cli_serve_subprocess(tmp_path):
     """cli.serve end-to-end in a real process: index + vocab from disk,
     warmup, query over TCP, remote shutdown."""
