@@ -55,6 +55,21 @@ def test_merge_explicit_offsets():
     assert m.num_docs == 11
 
 
+def test_hybrid_engine_over_merged_index():
+    """Query-level equivalence, not just byte-level: the hybrid engine over
+    a merged index scores like the engine over the one-shot build."""
+    from improving_learned_index_tpu.search.hybrid_engine import HybridSearchEngine
+
+    shards = [_docs(20, 7), _docs(15, 8)]
+    merged = InvertedIndexData.merge([_build(s) for s in shards])
+    oneshot = _build([d for s in shards for d in s])
+    ea, eb = HybridSearchEngine(merged), HybridSearchEngine(oneshot)
+    qs = [{"apple", "fig"}, {"banana"}, {"cherry", "date", "elder"}]
+    ra, rb = ea.score_batch(qs, 10), eb.score_batch(qs, 10)
+    for a, b in zip(ra, rb):
+        assert [(int(d), float(s)) for d, s in a] == [(int(d), float(s)) for d, s in b]
+
+
 def test_merge_cli(tmp_path):
     from improving_learned_index_tpu.cli import merge_indexes
 
