@@ -21,12 +21,17 @@ text parser reads back (repr round-trips).
 
 On-disk layout (a directory)::
 
-    meta.json      {"version": 1, "num_docs": N, "num_postings": P,
-                    "quantized": bool, "bits": b, "max_val": float|None}
+    meta.json      {"version": 2, "num_docs": N, "num_postings": P,
+                    "quantized": bool, "bits": b, "max_val": float|None,
+                    "values_format": "milli_i32"|"u8"|"f64"}
+    format.json    {"values_format": ...} — written at writer START so a
+                   crashed store's value dtype is recoverable
     vocab.txt      term strings, writer insertion order, one per line
     counts.bin     int32[N]    postings per document
     term_ids.bin   int32[P]    into vocab.txt line numbers
-    values.bin     float64[P]  rounded impact scores, or uint8[P] quantized
+    values.bin     int32[P] impact millis (value = d/1000.0, bit-exactly
+                   round(v, 3) — half the bytes of the legacy f64 format,
+                   which remains readable), or uint8[P] quantized
 """
 
 from __future__ import annotations
@@ -40,10 +45,36 @@ import numpy as np
 PathLike = Union[str, Path]
 
 _META = "meta.json"
+_FORMAT = "format.json"
 _VOCAB = "vocab.txt"
 _COUNTS = "counts.bin"
 _TERM_IDS = "term_ids.bin"
 _VALUES = "values.bin"
+
+# On-disk value encodings.  Unquantized impacts are EXACTLY round(v, 3) —
+# i.e. the double nearest some integer d / 1000 — so they serialize as the
+# int32 ``d`` ("milli_i32", half the bytes of f64) and reconstruct
+# bit-identically via d / 1000.0 (one correctly-rounded division).  Legacy
+# "f64" stores remain readable; quantized stores are raw uint8.
+_VALUE_FORMATS = {
+    "u8": np.uint8,
+    "milli_i32": np.int32,
+    "f64": np.float64,
+}
+
+
+def _disk_format(path: Path, quantized: bool) -> str:
+    """Resolve a store's on-disk value format: meta.json (closed stores),
+    else format.json (written at writer start, so crashed stores resolve),
+    else the legacy default."""
+    for name in (_META, _FORMAT):
+        p = path / name
+        if p.exists():
+            with open(p) as f:
+                fmt = json.load(f).get("values_format")
+            if fmt is not None:
+                return fmt
+    return "u8" if quantized else "f64"
 
 # flush buffered postings to disk every ~4M entries (~48 MB float path)
 _FLUSH_POSTINGS = 1 << 22
@@ -102,19 +133,27 @@ class ImpactStoreWriter:
         self._buffered = 0
         self._num_postings = 0
         self._vocab_flushed = 0
-        self._val_dtype = np.uint8 if quantized else np.float64
+        resuming = resume and (self.path / _COUNTS).exists()
+        if resuming:
+            self.values_format = _disk_format(self.path, quantized)
+        else:
+            self.values_format = "u8" if quantized else "milli_i32"
+        self._val_dtype = _VALUE_FORMATS[self.values_format]
         self.resume_docs = 0
-        if resume and (self.path / _COUNTS).exists():
+        if resuming:
             self.resume_docs = self._repair()
         mode = "ab" if resume else "wb"
         self._f_counts = open(self.path / _COUNTS, mode)
         self._f_ids = open(self.path / _TERM_IDS, mode)
         self._f_vals = open(self.path / _VALUES, mode)
-        if not resume:
+        if not resuming:
             # a fresh writer invalidates any stale vocab/meta from a
-            # previous run in the same directory
+            # previous run in the same directory, and records the value
+            # format FIRST so a crashed store's dtype is recoverable
             for name in (_VOCAB, _META):
                 (self.path / name).unlink(missing_ok=True)
+            with open(self.path / _FORMAT, "w") as f:
+                json.dump({"values_format": self.values_format}, f)
         self._closed = False
 
     def _repair(self) -> int:
@@ -188,7 +227,12 @@ class ImpactStoreWriter:
         if self.quantized:
             vals = np.asarray(values[:n], self._val_dtype)
         else:
-            vals = _exact_round3(np.asarray(values[:n], np.float64))
+            rounded = _exact_round3(np.asarray(values[:n], np.float64))
+            if self.values_format == "f64":  # resuming a legacy store
+                vals = rounded
+            else:
+                # rounded is d/1000 for integer d: recover d exactly
+                vals = np.rint(rounded * 1000.0).astype(np.int32)
         self._append(ids, vals)
 
     def add_doc(self, term_impacts: Sequence[Tuple[str, float]]) -> None:
@@ -205,8 +249,14 @@ class ImpactStoreWriter:
             ids[i] = t
             # text-writer parity: forward_index.format_line serializes
             # round(v, 3) and repr round-trips, so the text pipeline's
-            # parsed value IS round(v, 3) — store the identical float
-            vals[i] = value if self.quantized else round(float(value), 3)
+            # parsed value IS round(v, 3) — stored as integer millis d
+            # (round(v,3) == d/1000.0 bit-exactly)
+            if self.quantized:
+                vals[i] = value
+            elif self.values_format == "f64":  # resuming a legacy store
+                vals[i] = round(float(value), 3)
+            else:
+                vals[i] = round(round(float(value), 3) * 1000.0)
         self._append(ids, vals)
 
     def add_doc_ids(self, term_ids: np.ndarray, values: np.ndarray) -> None:
@@ -260,7 +310,7 @@ class ImpactStoreWriter:
         if not (self.path / _VOCAB).exists():
             (self.path / _VOCAB).touch()
         meta = {
-            "version": 1,
+            "version": 2,
             "num_docs": int(
                 np.fromfile(self.path / _COUNTS, np.int32).size
             ),
@@ -268,6 +318,7 @@ class ImpactStoreWriter:
             "quantized": bool(self.quantized),
             "bits": int(self.bits),
             "max_val": self.max_val,
+            "values_format": self.values_format,
         }
         with open(self.path / _META, "w") as f:
             json.dump(meta, f)
@@ -292,10 +343,14 @@ class ImpactStore:
         self.quantized: bool = self.meta["quantized"]
         self.bits: int = self.meta.get("bits", 8)
         self.max_val: Optional[float] = self.meta.get("max_val")
+        self.values_format: str = self.meta.get(
+            "values_format", "u8" if self.quantized else "f64"
+        )
         self.counts = np.fromfile(self.path / _COUNTS, np.int32)
-        val_dtype = np.uint8 if self.quantized else np.float64
         self.term_ids = np.memmap(self.path / _TERM_IDS, np.int32, mode="r")
-        self.values = np.memmap(self.path / _VALUES, val_dtype, mode="r")
+        self.values = np.memmap(
+            self.path / _VALUES, _VALUE_FORMATS[self.values_format], mode="r"
+        )
         self.offsets = np.zeros(len(self.counts) + 1, np.int64)
         np.cumsum(self.counts, out=self.offsets[1:])
         assert self.offsets[-1] == len(self.term_ids) == len(self.values), (
@@ -310,9 +365,29 @@ class ImpactStore:
     def num_postings(self) -> int:
         return int(self.offsets[-1])
 
+    def value_block(self, lo: int, hi: int) -> np.ndarray:
+        """Values [lo, hi) decoded to their logical dtype: float64 impacts
+        (exactly round(v, 3)) for unquantized stores, uint8 for quantized."""
+        block = np.asarray(self.values[lo:hi])
+        if self.values_format == "milli_i32":
+            return block.astype(np.float64) / 1000.0
+        return block
+
+    def global_max(self, chunk: int = 64 << 20) -> float:
+        """Max impact over the store, chunked (never materializes all
+        values).  Max commutes with the monotone milli decode."""
+        mx = 0.0
+        for lo in range(0, self.num_postings, chunk):
+            block = self.values[lo : lo + chunk]
+            if block.size:
+                mx = max(mx, float(np.max(block)))
+        if self.values_format == "milli_i32":
+            mx = np.float64(mx) / 1000.0
+        return float(mx)
+
     def doc(self, doc_id: int) -> Tuple[np.ndarray, np.ndarray]:
         s, e = self.offsets[doc_id], self.offsets[doc_id + 1]
-        return self.term_ids[s:e], self.values[s:e]
+        return self.term_ids[s:e], self.value_block(int(s), int(e))
 
     def iter_docs(self) -> Iterator[Tuple[int, Dict[str, float]]]:
         """Forward-index-compatible iteration (term-string dicts)."""
@@ -342,13 +417,7 @@ def quantize_store(
         raise ValueError(f"{input_path} is already quantized")
     n_docs = store.num_docs
     if max_val is None:
-        max_val = 0.0
-        for lo in range(0, store.num_postings, 64 << 20):
-            chunk = store.values[lo : lo + (64 << 20)]
-            if chunk.size:
-                max_val = max(max_val, float(np.max(chunk)))
-        if max_val == 0.0:
-            max_val = 1.0
+        max_val = store.global_max() or 1.0
     scale = ((1 << bits) - 1) / max_val
     out = Path(output_path)
     out.mkdir(parents=True, exist_ok=True)
@@ -360,7 +429,7 @@ def quantize_store(
             d1 = min(d0 + doc_block, n_docs)
             s, e = int(store.offsets[d0]), int(store.offsets[d1])
             counts = store.counts[d0:d1].astype(np.int64)
-            q = np.trunc(np.asarray(store.values[s:e]) * scale)
+            q = np.trunc(store.value_block(s, e) * scale)
             keep = q > 0
             doc_of = np.repeat(np.arange(d1 - d0, dtype=np.int64), counts)
             np.bincount(doc_of[keep], minlength=d1 - d0).astype(np.int32).tofile(fc)
@@ -373,12 +442,13 @@ def quantize_store(
         for term in store.vocab:
             f.write(term + "\n")
     meta = {
-        "version": 1,
+        "version": 2,
         "num_docs": int(n_docs),
         "num_postings": total_kept,
         "quantized": True,
         "bits": int(bits),
         "max_val": float(max_val),
+        "values_format": "u8",
     }
     with open(out / _META, "w") as f:
         json.dump(meta, f)
@@ -394,12 +464,13 @@ def store_to_forward_text(store: Union[ImpactStore, PathLike], out_path: PathLik
     vocab = store.vocab
     offsets = store.offsets
     ids_list = np.asarray(store.term_ids).tolist()
+    pair = "{}: {}".format
     if store.quantized:
         vals_list = np.asarray(store.values).tolist()
-        pair = "{}: {}".format
     else:
-        vals_list = [repr(v) for v in np.asarray(store.values).tolist()]
-        pair = "{}: {}".format
+        vals_list = [
+            repr(v) for v in store.value_block(0, store.num_postings).tolist()
+        ]
     with open(out_path, "w", encoding="utf-8") as f:
         for d in range(store.num_docs):
             s, e = int(offsets[d]), int(offsets[d + 1])

@@ -122,6 +122,35 @@ def test_quantize_store_chunked_matches_monolithic(tmp_path):
         assert (tmp_path / "q_small" / f).read_bytes() == (tmp_path / "q_big" / f).read_bytes(), f
 
 
+def test_legacy_f64_store_reads_and_quantizes_identically(tmp_path):
+    """v1 (float64 values) stores remain readable; the whole downstream
+    pipeline produces the same bytes as from the current milli_i32 format."""
+    import json
+
+    docs = _rand_docs(seed=11)
+    _, store_path = _write_both(tmp_path, docs)
+    v2 = ImpactStore(store_path)
+    assert v2.values_format == "milli_i32"
+    leg = tmp_path / "legacy.store"
+    leg.mkdir()
+    np.asarray(v2.counts).tofile(leg / "counts.bin")
+    np.asarray(v2.term_ids).tofile(leg / "term_ids.bin")
+    v2.value_block(0, v2.num_postings).tofile(leg / "values.bin")
+    (leg / "vocab.txt").write_bytes((store_path / "vocab.txt").read_bytes())
+    json.dump(
+        {"version": 1, "num_docs": v2.num_docs, "num_postings": v2.num_postings,
+         "quantized": False, "bits": 8, "max_val": None},
+        open(leg / "meta.json", "w"),
+    )
+    lst = ImpactStore(leg)
+    assert lst.values_format == "f64"
+    assert dict(lst.iter_docs()) == dict(v2.iter_docs())
+    quantize_store(store_path, tmp_path / "q_v2")
+    quantize_store(leg, tmp_path / "q_leg")
+    for f in ("counts.bin", "term_ids.bin", "values.bin"):
+        assert (tmp_path / "q_leg" / f).read_bytes() == (tmp_path / "q_v2" / f).read_bytes(), f
+
+
 def test_final_index_byte_parity(tmp_path):
     docs = _rand_docs(seed=3)
     text, store_path = _write_both(tmp_path, docs)
