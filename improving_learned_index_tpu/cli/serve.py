@@ -22,7 +22,12 @@ from .common import add_model_args, build_tokenizer
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     add_model_args(parser)
-    parser.add_argument("--index_path", type=Path, required=True)
+    parser.add_argument("--index_path", type=Path, default=None)
+    parser.add_argument("--shards", type=str, default=None,
+                        help="router mode: comma-separated "
+                        "host:port[:doc_offset] shard daemons — this daemon "
+                        "fans queries out and merges exact top-k "
+                        "(serve/router.py); tiers compose")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=7700)
     parser.add_argument("--engine",
@@ -42,13 +47,20 @@ def main(argv=None) -> int:
                         "pays the jit compile instead)")
     args = parser.parse_args(argv)
 
-    engine = build_engine(
-        args.index_path,
-        engine=args.engine,
-        dense_budget_bytes=int(args.dense_budget_gb * (1 << 30)),
-        use_pallas=args.use_pallas,
-        num_docs=args.num_docs,
-    )
+    if (args.index_path is None) == (args.shards is None):
+        parser.error("need exactly one of --index_path or --shards")
+    if args.shards:
+        from ..serve.router import RemoteShardedEngine
+
+        engine = RemoteShardedEngine(args.shards)
+    else:
+        engine = build_engine(
+            args.index_path,
+            engine=args.engine,
+            dense_budget_bytes=int(args.dense_budget_gb * (1 << 30)),
+            use_pallas=args.use_pallas,
+            num_docs=args.num_docs,
+        )
     tokenizer = None
     if args.vocab_path or args.hf_tokenizer:
         tokenizer = build_tokenizer(args)
@@ -70,7 +82,8 @@ def main(argv=None) -> int:
         allow_shutdown=args.allow_remote_shutdown,
     )
     server.start()
-    print(f"serving {args.index_path} on {args.host}:{server.port}")
+    src = args.index_path if args.index_path else f"router[{args.shards}]"
+    print(f"serving {src} on {args.host}:{server.port}")
     server.serve_forever()
     return 0
 

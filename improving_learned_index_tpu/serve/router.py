@@ -1,0 +1,147 @@
+"""Cross-host serving tier: fan queries out to shard daemons, merge top-k.
+
+Multi-chip retrieval inside one host rides the ICI mesh
+(search/sharded_engine.py); scaling past one host means doc-sharding the
+corpus across MACHINES, each running its own ``cli.serve`` daemon over its
+shard.  ``RemoteShardedEngine`` presents those daemons as one engine — it
+implements the same ``score_batch(term_sets, k)`` interface every local
+engine has, so a router is just a ``cli.serve`` daemon whose engine is
+remote (``--shards host:port:doc_offset,...``), and tiers compose.
+
+Exactness: disjoint doc shards mean a document's score comes entirely from
+its shard; the merged top-k over per-shard top-k lists is exact as long as
+each shard returns its own k best (it does), ordered score desc / global
+doc id asc — identical to a single engine over the whole corpus.
+
+No reference equivalent (the reference is single-process).
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import threading
+from typing import List, Sequence, Set, Tuple
+
+from ..core.logging import get_logger
+
+logger = get_logger("router")
+
+
+class ShardClient:
+    """Persistent newline-JSON connection to one shard daemon.  Pipelines a
+    whole batch (send all, then read all) per call; thread-safe."""
+
+    def __init__(self, host: str, port: int, doc_offset: int = 0, timeout: float = 120.0):
+        self.host, self.port, self.doc_offset = host, port, doc_offset
+        self._lock = threading.Lock()
+        self._timeout = timeout
+        self._sock = None
+        self._file = None
+
+    def _connect(self):
+        self._sock = socket.create_connection((self.host, self.port), timeout=self._timeout)
+        self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        self._file = self._sock.makefile("rb")
+
+    def close(self):
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+            self._sock = None
+            self._file = None
+
+    def score_batch(
+        self, term_sets: Sequence[Set[str]], top_k: int
+    ) -> List[List[Tuple[int, float]]]:
+        """Score a batch on this shard; doc ids come back global
+        (+doc_offset).  One reconnect attempt on a broken connection."""
+        for attempt in (0, 1):
+            try:
+                with self._lock:
+                    if self._sock is None:
+                        self._connect()
+                    payload = b"".join(
+                        (json.dumps({"id": i, "terms": sorted(ts), "k": top_k}) + "\n").encode()
+                        for i, ts in enumerate(term_sets)
+                    )
+                    self._sock.sendall(payload)
+                    out: List[List[Tuple[int, float]]] = [None] * len(term_sets)  # type: ignore
+                    for _ in term_sets:
+                        resp = json.loads(self._file.readline())
+                        if "error" in resp:
+                            raise RuntimeError(
+                                f"shard {self.host}:{self.port}: {resp['error']}"
+                            )
+                        out[resp["id"]] = [
+                            (int(d) + self.doc_offset, float(s)) for d, s in resp["results"]
+                        ]
+                    return out
+            except (OSError, ValueError) as e:
+                self.close()
+                if attempt:
+                    raise RuntimeError(
+                        f"shard {self.host}:{self.port} unreachable: {e}"
+                    ) from e
+                logger.warning(f"reconnecting to shard {self.host}:{self.port}: {e}")
+        raise AssertionError("unreachable")
+
+
+def _parse_shard_spec(spec: str) -> List[ShardClient]:
+    """"host:port:doc_offset,host:port:doc_offset,..." (offset optional)."""
+    clients = []
+    for part in spec.split(","):
+        bits = part.strip().rsplit(":", 2)
+        if len(bits) == 3 and bits[2].lstrip("-").isdigit() and bits[1].isdigit():
+            host, port, off = bits[0], int(bits[1]), int(bits[2])
+        else:
+            host, port = part.strip().rsplit(":", 1)
+            port, off = int(port), 0
+        clients.append(ShardClient(host, port, off))
+    return clients
+
+
+class RemoteShardedEngine:
+    """score_batch over doc-sharded remote daemons: concurrent fan-out,
+    exact top-k merge (score desc, global doc id asc)."""
+
+    def __init__(self, shards):
+        if isinstance(shards, str):
+            shards = _parse_shard_spec(shards)
+        self.shards: List[ShardClient] = list(shards)
+        if not self.shards:
+            raise ValueError("need at least one shard")
+
+    def close(self):
+        for s in self.shards:
+            s.close()
+
+    def score_batch(
+        self, query_term_sets: Sequence[Set[str]], top_k: int = 1000
+    ) -> List[List[Tuple[int, float]]]:
+        results: List[List[List[Tuple[int, float]]]] = [None] * len(self.shards)  # type: ignore
+        errors: List[Exception] = []
+
+        def fetch(i: int):
+            try:
+                results[i] = self.shards[i].score_batch(query_term_sets, top_k)
+            except Exception as e:  # surfaced after join
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=fetch, args=(i,)) for i in range(len(self.shards))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errors:
+            raise errors[0]
+        merged = []
+        for q in range(len(query_term_sets)):
+            rows = [row for shard in results for row in shard[q]]
+            rows.sort(key=lambda ds: (-ds[1], ds[0]))
+            merged.append(rows[:top_k])
+        return merged

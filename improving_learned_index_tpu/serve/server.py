@@ -100,6 +100,8 @@ class RetrievalServer:
         self._stop = threading.Event()
         self._sock: Optional[socket.socket] = None
         self._threads: List[threading.Thread] = []
+        self._conns: set = set()
+        self._conns_lock = threading.Lock()
 
     def swap_engine(self, engine, tokenizer=None) -> None:
         """Atomically replace the serving engine (live index update: build
@@ -115,8 +117,16 @@ class RetrievalServer:
     def start(self) -> int:
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        # restart-friendly: a replacement daemon can bind while the old
+        # instance's connections drain (FIN_WAIT sockets on the port would
+        # otherwise EADDRINUSE past SO_REUSEADDR)
+        if hasattr(socket, "SO_REUSEPORT"):
+            self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEPORT, 1)
         self._sock.bind((self._host, self._requested_port))
         self._sock.listen(128)
+        # a blocked accept() is NOT interrupted by close() on Linux — poll
+        # with a short timeout so stop() returns promptly
+        self._sock.settimeout(0.2)
         self.port = self._sock.getsockname()[1]
         for target in (self._accept_loop, self._batch_loop):
             t = threading.Thread(target=target, daemon=True)
@@ -132,6 +142,19 @@ class RetrievalServer:
         if self._sock is not None:
             try:
                 self._sock.close()
+            except OSError:
+                pass
+        # close live client connections so the port is immediately
+        # rebindable (a restart on the same port must not EADDRINUSE on
+        # lingering established sockets)
+        with self._conns_lock:
+            conns = list(self._conns)
+        for c in conns:
+            try:
+                # shutdown, not close: the reader thread's makefile holds a
+                # reference that defers close(), so only shutdown actually
+                # sends the FIN that unblocks clients NOW
+                c.shutdown(socket.SHUT_RDWR)
             except OSError:
                 pass
         for t in self._threads:
@@ -153,14 +176,19 @@ class RetrievalServer:
         while not self._stop.is_set():
             try:
                 conn, _ = self._sock.accept()
+            except socket.timeout:
+                continue
             except OSError:
                 return  # socket closed by stop()
+            conn.settimeout(None)  # inherited listener timeout: undo
             conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
             t = threading.Thread(target=self._conn_loop, args=(conn,), daemon=True)
             t.start()
 
     def _conn_loop(self, conn: socket.socket) -> None:
         send_lock = threading.Lock()
+        with self._conns_lock:
+            self._conns.add(conn)
         f = conn.makefile("rb")
         try:
             for line in f:
@@ -206,6 +234,8 @@ class RetrievalServer:
         except (OSError, ValueError):
             pass
         finally:
+            with self._conns_lock:
+                self._conns.discard(conn)
             try:
                 conn.close()
             except OSError:

@@ -1,0 +1,114 @@
+"""Cross-host serving router: doc-sharded daemons + exact top-k merge must
+match a single engine over the whole corpus, including tie ordering."""
+
+import json
+import socket
+
+import pytest
+
+from improving_learned_index_tpu.index.inverted import InvertedIndexData
+from improving_learned_index_tpu.search.engine import InvertedIndex
+from improving_learned_index_tpu.serve import RetrievalServer
+from improving_learned_index_tpu.serve.router import RemoteShardedEngine, ShardClient
+
+# equal scores across shards exercise the global (score desc, doc asc) tie
+DOCS = [
+    {"apple": 200, "banana": 100},
+    {"apple": 150, "cherry": 50},
+    {"banana": 250, "cherry": 10, "apple": 5},
+    {"date": 77, "apple": 150},       # ties doc 1 on {"apple"}
+    {"banana": 100, "apple": 200},    # ties doc 0 on {"apple","banana"}
+    {"elder": 13},
+]
+SPLIT = 3  # shard 0: docs 0-2, shard 1: docs 3-5
+
+
+def _shard_servers():
+    full = InvertedIndexData.build(enumerate(DOCS), num_docs=len(DOCS))
+    s0 = InvertedIndexData.build(enumerate(DOCS[:SPLIT]), num_docs=SPLIT)
+    s1 = InvertedIndexData.build(enumerate(DOCS[SPLIT:]), num_docs=len(DOCS) - SPLIT)
+    srv0 = RetrievalServer(InvertedIndex(s0), top_k=10, max_wait_ms=1.0)
+    srv1 = RetrievalServer(InvertedIndex(s1), top_k=10, max_wait_ms=1.0)
+    srv0.start(); srv1.start()
+    return full, srv0, srv1
+
+
+def test_router_matches_single_engine():
+    full, srv0, srv1 = _shard_servers()
+    try:
+        router = RemoteShardedEngine(f"127.0.0.1:{srv0.port}:0,127.0.0.1:{srv1.port}:{SPLIT}")
+        direct = InvertedIndex(full)
+        queries = [
+            {"apple"}, {"apple", "banana"}, {"cherry", "date"},
+            {"elder"}, {"nosuchterm"}, set(),
+        ]
+        got = router.score_batch(queries, 10)
+        want = direct.score_batch(queries, 10)
+        assert [[(int(d), float(s)) for d, s in row] for row in got] == [
+            [(int(d), float(s)) for d, s in row] for row in want
+        ]
+        # k truncation happens AFTER the global merge
+        got2 = router.score_batch([{"apple"}], 2)
+        want2 = direct.score_batch([{"apple"}], 2)
+        assert got2[0] == want2[0] and len(got2[0]) == 2
+        router.close()
+    finally:
+        srv0.stop(); srv1.stop()
+
+
+def test_router_tier_composes_as_daemon():
+    """A cli.serve daemon whose engine is the router: client -> router
+    daemon -> shard daemons."""
+    full, srv0, srv1 = _shard_servers()
+    try:
+        router = RemoteShardedEngine(
+            f"127.0.0.1:{srv0.port}:0,127.0.0.1:{srv1.port}:{SPLIT}"
+        )
+        top = RetrievalServer(router, top_k=10, max_wait_ms=1.0)
+        top.start()
+        try:
+            sock = socket.create_connection(("127.0.0.1", top.port))
+            f = sock.makefile("rb")
+            sock.sendall(b'{"id": 1, "terms": ["apple", "banana"], "k": 4}\n')
+            r = json.loads(f.readline())
+            want = InvertedIndex(full).score_batch([{"apple", "banana"}], 4)[0]
+            assert r["results"] == [[int(d), float(s)] for d, s in want]
+            sock.close()
+        finally:
+            top.stop()
+        router.close()
+    finally:
+        srv0.stop(); srv1.stop()
+
+
+def test_router_shard_failure_surfaces_as_error():
+    full, srv0, srv1 = _shard_servers()
+    router = RemoteShardedEngine(f"127.0.0.1:{srv0.port},127.0.0.1:{srv1.port}:{SPLIT}")
+    router.score_batch([{"apple"}], 5)  # connections established
+    srv1.stop()
+    try:
+        with pytest.raises(RuntimeError, match="unreachable|shard"):
+            router.score_batch([{"apple"}], 5)
+    finally:
+        router.close()
+        srv0.stop()
+
+
+def test_client_reconnects_after_backend_restart():
+    full, srv0, srv1 = _shard_servers()
+    srv1.stop()
+    client = ShardClient("127.0.0.1", srv0.port, 0)
+    first = client.score_batch([{"apple"}], 5)
+    port = srv0.port
+    srv0.stop()  # connection now dead
+    srv0b = RetrievalServer(
+        InvertedIndex(InvertedIndexData.build(enumerate(DOCS[:SPLIT]), num_docs=SPLIT)),
+        top_k=10, max_wait_ms=1.0, port=port,
+    )
+    srv0b.start()
+    try:
+        again = client.score_batch([{"apple"}], 5)  # transparent reconnect
+        assert again == first
+    finally:
+        client.close()
+        srv0b.stop()
