@@ -389,6 +389,21 @@ class InvertedIndexData:
         keep[np.asarray(list(doc_ids), dtype=np.int64)] = False
         return self.filter_docs(keep)
 
+    def split_docs(self, n_shards: int) -> List["InvertedIndexData"]:
+        """Split into ``n_shards`` consecutive doc-range shards (for the
+        cross-host serving router, serve/router.py: shard i's doc-id offset
+        is the cumulative doc count of shards 0..i-1).  Inverse of
+        ``merge``: merging the shards back is byte-identical to this
+        index."""
+        assert n_shards >= 1
+        bounds = np.linspace(0, self.num_docs, n_shards + 1).astype(np.int64)
+        shards = []
+        for i in range(n_shards):
+            keep = np.zeros(self.num_docs, dtype=bool)
+            keep[bounds[i] : bounds[i + 1]] = True
+            shards.append(self.filter_docs(keep))
+        return shards
+
     # -- serialization (reference binary layout) -------------------------------
     def save(self, output_path: PathLike) -> None:
         out = Path(output_path)

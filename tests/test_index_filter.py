@@ -56,6 +56,45 @@ def test_filter_keep_all_and_none():
     assert empty.num_docs == 0 and empty.num_postings == 0 and empty.vocab == []
 
 
+def test_split_merge_roundtrip(tmp_path):
+    docs = _docs(23, 5)
+    full = _build(docs)
+    shards = full.split_docs(4)
+    assert sum(s.num_docs for s in shards) == full.num_docs
+    merged = InvertedIndexData.merge(shards)
+    full.save(tmp_path / "full")
+    merged.save(tmp_path / "merged")
+    for f in ("inverted_index.dat", "inverted_index.idx", "vocab.txt"):
+        assert (tmp_path / "merged" / f).read_bytes() == (tmp_path / "full" / f).read_bytes(), f
+
+
+def test_split_cli_manifest(tmp_path):
+    import json
+
+    from improving_learned_index_tpu.cli import split_index
+
+    docs = _docs(10, 6)
+    _build(docs).save(tmp_path / "inv")
+    rc = split_index.main([
+        "-i", str(tmp_path / "inv"), "-o", str(tmp_path / "shards"),
+        "--n_shards", "3", "--num_docs", str(len(docs)),
+    ])
+    assert rc == 0
+    manifest = json.load(open(tmp_path / "shards" / "shards.json"))
+    assert sum(m["num_docs"] for m in manifest) == len(docs)
+    assert manifest[0]["doc_offset"] == 0
+    assert manifest[2]["doc_offset"] == manifest[0]["num_docs"] + manifest[1]["num_docs"]
+    loaded = [
+        InvertedIndexData.load(tmp_path / "shards" / m["path"], num_docs=m["num_docs"])
+        for m in manifest
+    ]
+    merged = InvertedIndexData.merge(loaded)
+    _build(docs).save(tmp_path / "ref")
+    merged.save(tmp_path / "rt")
+    for f in ("inverted_index.dat", "inverted_index.idx", "vocab.txt"):
+        assert (tmp_path / "rt" / f).read_bytes() == (tmp_path / "ref" / f).read_bytes(), f
+
+
 def test_filter_cli(tmp_path):
     from improving_learned_index_tpu.cli import filter_index
 
