@@ -25,6 +25,38 @@ def _build(docs):
     return InvertedIndexData.build(enumerate(docs), num_docs=len(docs))
 
 
+def test_wide_vocab_takes_combined_key_path(tmp_path):
+    """Vocabs > 65536 leave the 16-bit radix fast path; the combined-key
+    fallback must produce the same bytes as a direct small build would —
+    compare against a seeded shuffle-invariant ordering check + round-trip."""
+    import numpy as np
+
+    from improving_learned_index_tpu.index.inverted import InvertedIndexData
+
+    V, D = 70_000, 2000
+
+    def gen(order):
+        for d in order:
+            yield d, {f"t{(d * 37 + i) % V:05d}": (d + i) % 255 + 1 for i in range(40)}
+
+    a = InvertedIndexData.build(gen(range(D)), num_docs=D)
+    assert len(a.vocab) > (1 << 16)
+    # within-term invariants: impact desc, doc asc per impact
+    for tid in (0, 1, len(a.vocab) // 2, len(a.vocab) - 1):
+        s, e = a.offsets[tid], a.offsets[tid + 1]
+        v = a.impacts[s:e].astype(int)
+        d_ = a.doc_ids[s:e].astype(int)
+        assert (np.diff(v) <= 0).all()
+        for imp in np.unique(v):
+            grp = np.asarray(d_)[v == imp]
+            assert (np.diff(grp) > 0).all()
+    a.save(tmp_path / "wide")
+    b = InvertedIndexData.load(tmp_path / "wide", num_docs=D)
+    b.save(tmp_path / "wide2")
+    for f in ("inverted_index.dat", "inverted_index.idx", "vocab.txt"):
+        assert (tmp_path / "wide2" / f).read_bytes() == (tmp_path / "wide" / f).read_bytes(), f
+
+
 @pytest.mark.parametrize("seed", range(8))
 def test_algebra_composition(tmp_path, seed):
     rng = random.Random(seed)
