@@ -82,6 +82,30 @@ def main() -> int:
     v3.save(work / "inv_live")
     print(f"after delete: {v3.num_docs} docs, {len(v3)} terms")
 
+    # -- cross-host serving: split into shards (one per host), daemons per
+    # shard, a router daemon in front — exact same results as one engine
+    from improving_learned_index_tpu.search.engine import InvertedIndex
+    from improving_learned_index_tpu.serve.router import RemoteShardedEngine
+
+    shards = v3.split_docs(2)
+    backends = []
+    spec = []
+    offset = 0
+    for shard in shards:
+        b = RetrievalServer(InvertedIndex(shard), max_wait_ms=1.0)
+        b.start()
+        backends.append(b)
+        spec.append(f"127.0.0.1:{b.port}:{offset}")
+        offset += shard.num_docs
+    router = RemoteShardedEngine(",".join(spec))
+    direct = InvertedIndex(v3)
+    probe = [set(v3.vocab[:2])]
+    assert router.score_batch(probe, 5) == direct.score_batch(probe, 5)
+    print(f"router over {len(shards)} shard daemons == single engine")
+    router.close()
+    for b in backends:
+        b.stop()
+
     # -- serve it
     engine = build_engine(work / "inv_live", engine="auto", num_docs=v3.num_docs)
     server = RetrievalServer(
