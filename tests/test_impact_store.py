@@ -187,6 +187,17 @@ def test_store_from_forward_text_converter(tmp_path):
     assert out.read_bytes() == text.read_bytes()
 
 
+def test_anserini_export_from_store_matches_text(tmp_path):
+    from improving_learned_index_tpu.index.anserini import convert_to_anserini
+
+    docs = _rand_docs(seed=9)
+    text, store_path = _write_both(tmp_path, docs)
+    n1 = convert_to_anserini(text, tmp_path / "a.jsonl")
+    n2 = convert_to_anserini(store_path, tmp_path / "b.jsonl")
+    assert n1 == n2 == len(docs)
+    assert (tmp_path / "b.jsonl").read_bytes() == (tmp_path / "a.jsonl").read_bytes()
+
+
 def test_cli_pipeline_with_store(tmp_path):
     """quantize + invert CLIs accept store directories and produce the same
     final index as the text CLIs."""
