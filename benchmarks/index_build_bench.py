@@ -101,6 +101,9 @@ def main(argv=None) -> int:
     parser.add_argument("--pipeline", choices=["store", "text"], default="store",
                         help="inter-stage format: binary impact store (fast) "
                         "or reference text (parity path)")
+    parser.add_argument("--pack", action="store_true",
+                        help="sequence-packed encode (several docs per row; "
+                        "pays off when max_length >> mean doc tokens)")
     args = parser.parse_args(argv)
 
     from improving_learned_index_tpu.cli import build_vocab, index as cli_index
@@ -146,6 +149,7 @@ def main(argv=None) -> int:
         "--model_kind", "deepimpact",
         "--max_length", str(args.max_length),
         "--model_batch_size", str(args.model_batch_size),
+        *(["--pack"] if args.pack else []),
     ]))
 
     stage("quantize", lambda: cli_quantize.main(["-i", str(fwd), "-o", str(quant)]))

@@ -32,6 +32,11 @@ def main(argv=None) -> int:
                         help="continue a run killed mid-encode: outputs are "
                         "repaired to the last consistent document and "
                         "encoding restarts there")
+    parser.add_argument("--pack", action="store_true",
+                        help="sequence packing: several short documents per "
+                        "row with block-diagonal attention (same scores, "
+                        "~3x throughput on ~70-token corpora); "
+                        "--model_batch_size then counts packed rows")
     args = parser.parse_args(argv)
     if args.output_file_path is None and args.store_path is None:
         parser.error("need --output_file_path and/or --store_path")
@@ -42,6 +47,7 @@ def main(argv=None) -> int:
         max_length=max_length,
         max_terms=args.max_terms or max_length,
         model_batch_size=args.model_batch_size,
+        pack_sequences=args.pack,
     )
     n = Indexer(model, config).index_to_file(
         args.collection_path,

@@ -167,6 +167,11 @@ class IndexConfig:
     model_batch_size: int = 32
     quantization_bits: int = IMPACT_SCORE_QUANTIZATION_BITS
     round_decimals: int = 3  # forward-index score rounding (reference indexer.py:64)
+    # Sequence packing (text/packing.py): pack several short documents per
+    # [max_length] row with block-diagonal attention.  Same scores, ~
+    # (max_length / mean_doc_tokens)x fewer encode FLOPs on real corpora;
+    # model_batch_size then counts packed ROWS per device batch.
+    pack_sequences: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -141,6 +141,10 @@ class Indexer:
                 yield from rows(self.model.get_impact_scores_batch(batch))
             return
 
+        if self.config.pack_sequences:
+            yield from self._encode_packed_rows(documents)
+            return
+
         queue: Queue = Queue(maxsize=4)
         producer = threading.Thread(
             target=_tokenize_producer,
@@ -174,6 +178,61 @@ class Indexer:
                     # trailing partial batch pads to the steady-state shape:
                     # one compiled program for the whole stream
                     pad_to=self.config.model_batch_size,
+                )
+            )
+            if len(pending) > 1:
+                yield from drain(pending.popleft())
+        while pending:
+            yield from drain(pending.popleft())
+        producer.join()
+
+    def _encode_packed_rows(
+        self, documents: Iterable[str]
+    ) -> Iterator[Tuple[List[str], np.ndarray]]:
+        """Sequence-packed encode: several documents per [max_length] row
+        (text/packing.py), block-diagonal attention on device, one flat
+        term-score gather per batch.  Yields the same (terms, scores) stream
+        as the unpacked path — packing is purely a throughput optimization
+        (~3x on ~70-token corpora at max_length 256)."""
+        from collections import deque
+
+        from ..text.packing import SequencePacker
+
+        seq_len = self.config.max_length
+        rows = self.config.model_batch_size
+        packer = SequencePacker(seq_len, rows, self.config.max_terms)
+
+        queue: Queue = Queue(maxsize=4)
+
+        def produce():
+            for doc in documents:
+                enc = self.model.process_document(doc)
+                for batch in packer.add(enc):
+                    queue.put(batch)
+            for batch in packer.flush():
+                queue.put(batch)
+            queue.put(None)
+
+        producer = threading.Thread(target=produce, daemon=True)
+        producer.start()
+
+        pending: deque = deque()
+
+        def drain(entry):
+            scores, offsets, terms = entry
+            scores = np.asarray(scores)
+            for i, doc_terms in enumerate(terms):
+                yield doc_terms, scores[offsets[i] : offsets[i + 1]]
+
+        while True:
+            batch = queue.get()
+            if batch is None:
+                break
+            pending.append(
+                (
+                    self.model.encode_packed(batch, materialize=False),
+                    batch.term_offsets,
+                    batch.terms,
                 )
             )
             if len(pending) > 1:

@@ -77,8 +77,24 @@ class DeepImpact:
             tok_scores = out[..., 0]
             return jnp.take_along_axis(tok_scores, slots, axis=1)  # [B, T]
 
+        @jax.jit
+        def _packed_term_scores(params, input_ids, segment_ids, type_ids, flat_slots):
+            # sequence-packed encode (text/packing.py): block-diagonal
+            # attention via segment ids, then ONE flat gather of every
+            # document's term slots — [P] values cross back to the host,
+            # no per-doc padding in the transfer at all.
+            out = self.module.apply(
+                {"params": params},
+                input_ids,
+                (segment_ids > 0).astype(jnp.int32),
+                type_ids,
+                segment_ids=segment_ids,
+            )  # [R, S, 1]
+            return jnp.take(out[..., 0].reshape(-1), flat_slots)  # [P]
+
         self._forward = _forward
         self._term_scores = _term_scores
+        self._packed_term_scores = _packed_term_scores
 
     # -- text API (delegates to the pluggable tokenizer) ---------------------
     def process_query(self, query: str) -> Set[str]:
@@ -157,6 +173,58 @@ class DeepImpact:
             slots,
         )[:n]
         return (np.asarray(scores) if materialize else scores), terms
+
+    def encode_packed(self, batch, materialize: bool = True):
+        """Encode one ``text.packing.PackedBatch``; returns the flat [P]
+        term-score array (device array when ``materialize=False`` so callers
+        can pipeline).  Split per document with ``batch.term_offsets``."""
+        ids, seg, typ, slots = (
+            batch.input_ids,
+            batch.segment_ids,
+            batch.type_ids,
+            batch.flat_slots,
+        )
+        if self.mesh is not None:
+            n_data = int(self.mesh.shape.get("data", self.mesh.devices.size))
+            if n_data > 1:
+                from ..parallel.mesh import data_sharding, replicated
+
+                if not getattr(self, "_params_placed", False):
+                    self.params = jax.device_put(self.params, replicated(self.mesh))
+                    self._params_placed = True
+                sh = data_sharding(self.mesh, 2)
+                ids = jax.device_put(ids, sh)
+                seg = jax.device_put(seg, sh)
+                typ = jax.device_put(typ, sh)
+                slots = jax.device_put(slots, data_sharding(self.mesh, 1))
+        scores = self._packed_term_scores(self.params, ids, seg, typ, slots)
+        return np.asarray(scores) if materialize else scores
+
+    def get_impact_scores_batch_packed(
+        self, documents: Sequence[str], rows: Optional[int] = None
+    ) -> List[List[Tuple[str, float]]]:
+        """``get_impact_scores_batch`` through the sequence-packed encode
+        path — same output, ~(max_length / mean_doc_tokens)x fewer FLOPs on
+        short-document corpora."""
+        from ..text.packing import pack_documents
+
+        if not documents:
+            return []
+        encodings = [self.process_document(d) for d in documents]
+        if rows is None:
+            # enough rows for the whole batch at ~85% fill, bucketed so the
+            # compiled [rows, S] shapes stay bounded across calls
+            total = sum(sum(e.attention_mask) for e in encodings)
+            need = -(-int(total * 1.18) // self.max_length) or 1
+            rows = _bucket(min(need, len(encodings)))
+        out: List[List[Tuple[str, float]]] = []
+        for batch in pack_documents(encodings, self.max_length, rows):
+            scores = self.encode_packed(batch)
+            offs = batch.term_offsets
+            for i, terms in enumerate(batch.terms):
+                row = scores[offs[i] : offs[i + 1]]
+                out.append([(t, float(row[j])) for j, t in enumerate(terms)])
+        return out
 
     # -- reference-parity impact API -------------------------------------------
     @staticmethod

@@ -45,14 +45,44 @@ def make_position_ids(input_ids: jnp.ndarray, config: EncoderConfig) -> jnp.ndar
     return incremental + config.pad_token_id
 
 
+def make_packed_position_ids(
+    segment_ids: jnp.ndarray, config: EncoderConfig
+) -> jnp.ndarray:
+    """Position ids for sequence-packed rows: positions restart at every
+    segment boundary so each packed document sees the same position
+    embeddings it would unpacked.  BERT (position_offset == 0): 0..L-1 within
+    the segment.  RoBERTa-family: pad_id + 1 + within-segment index on real
+    tokens, pad_id on padding (matching make_position_ids for a document
+    starting at column 0)."""
+    bsz, seq = segment_ids.shape
+    idx = jnp.broadcast_to(jnp.arange(seq, dtype=jnp.int32)[None, :], (bsz, seq))
+    boundary = jnp.concatenate(
+        [
+            jnp.ones((bsz, 1), dtype=bool),
+            segment_ids[:, 1:] != segment_ids[:, :-1],
+        ],
+        axis=1,
+    )
+    start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(boundary, idx, 0), axis=1
+    )
+    within = idx - start
+    if config.position_offset == 0:
+        return within
+    real = segment_ids > 0
+    return jnp.where(real, within + 1 + config.pad_token_id, config.pad_token_id)
+
+
 class Embeddings(nn.Module):
     config: EncoderConfig
 
     @nn.compact
-    def __call__(self, input_ids, type_ids, deterministic: bool = True):
+    def __call__(
+        self, input_ids, type_ids, deterministic: bool = True, position_ids=None
+    ):
         c = self.config
         word = nn.Embed(c.vocab_size, c.hidden_size, name="word_embeddings")(input_ids)
-        pos_ids = make_position_ids(input_ids, c)
+        pos_ids = position_ids if position_ids is not None else make_position_ids(input_ids, c)
         pos = nn.Embed(
             c.max_position_embeddings, c.hidden_size, name="position_embeddings"
         )(pos_ids)
@@ -166,6 +196,7 @@ class SelfAttention(nn.Module):
         deterministic: bool = True,
         attention_mask=None,
         output_attentions: bool = False,
+        packed: bool = False,
     ):
         c = self.config
         head_dim = c.hidden_size // c.num_heads
@@ -198,10 +229,12 @@ class SelfAttention(nn.Module):
                 q, k, v,  # already [B, H, S, hd] from the projections
                 attention_mask.astype(jnp.int32),
                 float(1.0 / np.sqrt(head_dim)),
+                packed,
             )
             probs = None
         elif use_flash:
-            # Pallas flash attention for longer sequences.
+            # Pallas flash attention for longer sequences.  Its SegmentIds
+            # masking is equality-based, so packed segment ids work natively.
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 SegmentIds,
                 flash_attention,
@@ -239,11 +272,12 @@ class EncoderLayer(nn.Module):
         deterministic: bool = True,
         attention_mask=None,
         output_attentions: bool = False,
+        packed: bool = False,
     ):
         c = self.config
         dt = _dtype(c)
         attn_out, probs = SelfAttention(c, name="attention")(
-            x, attention_bias, deterministic, attention_mask, output_attentions
+            x, attention_bias, deterministic, attention_mask, output_attentions, packed
         )
         attn_out = nn.Dropout(c.hidden_dropout)(attn_out, deterministic=deterministic)
         # fp32 LayerNorm (a Pallas LN measured no faster: the cost here is
@@ -275,19 +309,43 @@ class TransformerEncoder(nn.Module):
         type_ids=None,
         deterministic: bool = True,
         output_attentions: bool = False,
+        segment_ids=None,
     ):
         c = self.config
         if type_ids is None:
             type_ids = jnp.zeros_like(input_ids)
-        x = Embeddings(c, name="embeddings")(input_ids, type_ids, deterministic)
-        # additive attention bias: 0 for real tokens, large negative for pads.
-        bias = jnp.where(
-            attention_mask[:, None, None, :].astype(bool), 0.0, jnp.finfo(jnp.float32).min
-        ).astype(jnp.float32)
+        if segment_ids is not None:
+            # sequence-packed batch (text/packing.py): block-diagonal
+            # attention within each packed document, positions restart per
+            # segment.  The kernels get the raw segment ids; the additive
+            # bias encodes segment equality for the XLA path.
+            pos_ids = make_packed_position_ids(segment_ids, c)
+            x = Embeddings(c, name="embeddings")(
+                input_ids, type_ids, deterministic, position_ids=pos_ids
+            )
+            allowed = (
+                segment_ids[:, None, :, None] == segment_ids[:, None, None, :]
+            )
+            bias = jnp.where(allowed, 0.0, jnp.finfo(jnp.float32).min).astype(
+                jnp.float32
+            )
+            kernel_mask = segment_ids
+        else:
+            x = Embeddings(c, name="embeddings")(input_ids, type_ids, deterministic)
+            # additive attention bias: 0 for real tokens, large negative for pads.
+            bias = jnp.where(
+                attention_mask[:, None, None, :].astype(bool), 0.0, jnp.finfo(jnp.float32).min
+            ).astype(jnp.float32)
+            kernel_mask = attention_mask
         attentions = []
         for i in range(c.num_layers):
             x, probs = EncoderLayer(c, name=f"layer_{i}")(
-                x, bias, deterministic, attention_mask, output_attentions
+                x,
+                bias,
+                deterministic,
+                kernel_mask,
+                output_attentions,
+                packed=segment_ids is not None,
             )
             if output_attentions:
                 attentions.append(probs.astype(jnp.float32))
@@ -319,9 +377,17 @@ class DeepImpactModel(nn.Module):
     config: EncoderConfig
 
     @nn.compact
-    def __call__(self, input_ids, attention_mask, type_ids=None, deterministic=True):
+    def __call__(
+        self,
+        input_ids,
+        attention_mask,
+        type_ids=None,
+        deterministic=True,
+        segment_ids=None,
+    ):
         hidden = TransformerEncoder(self.config, name="encoder")(
-            input_ids, attention_mask, type_ids, deterministic
+            input_ids, attention_mask, type_ids, deterministic,
+            segment_ids=segment_ids,
         )
         return ImpactHead(self.config.impact_activation, name="impact_head")(hidden)
 

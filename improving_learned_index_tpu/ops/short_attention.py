@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 interpret = False  # tests flip this to run on the CPU backend
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, seg_ref, o_ref, *, sm_scale):
+def _attn_kernel(q_ref, k_ref, v_ref, seg_ref, o_ref, *, sm_scale, packed):
     # One grid program per batch element, all heads batched into one pair of
     # MXU matmuls — a (batch, head) grid (tiny [S, D] operands) measured no
     # faster than XLA: per-program overhead swamped the work.  Inputs arrive
@@ -54,7 +54,16 @@ def _attn_kernel(q_ref, k_ref, v_ref, seg_ref, o_ref, *, sm_scale):
     )  # [H, S, S] fp32, on-chip
     logits = logits * sm_scale
     seg = seg_ref[0, :, :]  # [1, S]; 0 = padding key
-    logits = logits + jnp.where(seg == 0, -1e9, 0.0)[None, :, :]
+    if packed:
+        # sequence-packed rows: tokens attend only within their own segment
+        # (block-diagonal).  exp(-1e9 - max) underflows to exactly 0, so
+        # cross-document probabilities contribute exact zeros to the context
+        # matmul — packed outputs match unpacked ones bit-for-bit up to
+        # accumulation tiling.
+        allowed = seg[0, :, None] == seg[0, None, :]  # [S, S]
+        logits = logits + jnp.where(allowed, 0.0, -1e9)[None, :, :]
+    else:
+        logits = logits + jnp.where(seg == 0, -1e9, 0.0)[None, :, :]
     m = jnp.max(logits, axis=2, keepdims=True)
     p = jnp.exp(logits - m)
     probs = (p / jnp.sum(p, axis=2, keepdims=True)).astype(jnp.bfloat16)
@@ -65,9 +74,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, seg_ref, o_ref, *, sm_scale):
     o_ref[0] = ctx.astype(o_ref.dtype)
 
 
-def _short_attention_fwd_impl(q, k, v, segment_mask, sm_scale):
+def _short_attention_fwd_impl(q, k, v, segment_mask, sm_scale, packed=False):
     b, h, s, d = q.shape
-    kernel = functools.partial(_attn_kernel, sm_scale=sm_scale)
+    kernel = functools.partial(_attn_kernel, sm_scale=sm_scale, packed=packed)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
@@ -85,37 +94,45 @@ def _short_attention_fwd_impl(q, k, v, segment_mask, sm_scale):
     )(q, k, v, segment_mask[:, None, :])
 
 
-def _reference_attention(q, k, v, segment_mask, sm_scale):
+def _reference_attention(q, k, v, segment_mask, sm_scale, packed=False):
     """The XLA path's math, used for the custom-vjp backward."""
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q.astype(jnp.bfloat16), k.astype(jnp.bfloat16)
     ).astype(jnp.float32)
     logits = logits * sm_scale
-    bias = jnp.where(segment_mask == 0, -1e9, 0.0)[:, None, None, :]
+    if packed:
+        allowed = segment_mask[:, None, :, None] == segment_mask[:, None, None, :]
+        bias = jnp.where(allowed, 0.0, -1e9)
+    else:
+        bias = jnp.where(segment_mask == 0, -1e9, 0.0)[:, None, None, :]
     probs = jax.nn.softmax(logits + bias, axis=-1).astype(jnp.bfloat16)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(jnp.bfloat16)).astype(q.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def short_attention(q, k, v, segment_mask, sm_scale):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def short_attention(q, k, v, segment_mask, sm_scale, packed=False):
     """Batched attention for S <= 512.
 
-    q, k, v: [B, H, S, D]; segment_mask: [B, S] int (0 = padding key).
+    q, k, v: [B, H, S, D]; segment_mask: [B, S] int.  With ``packed=False``
+    the mask is a key-padding mask (0 = padding key).  With ``packed=True``
+    it carries sequence-packing segment ids (0 = padding, 1..n per packed
+    document); tokens attend only within their own segment.
     Returns [B, H, S, D] in q's dtype.
     """
-    return _short_attention_fwd_impl(q, k, v, segment_mask, sm_scale)
+    return _short_attention_fwd_impl(q, k, v, segment_mask, sm_scale, packed)
 
 
-def _fwd(q, k, v, segment_mask, sm_scale):
-    return _short_attention_fwd_impl(q, k, v, segment_mask, sm_scale), (
+def _fwd(q, k, v, segment_mask, sm_scale, packed):
+    return _short_attention_fwd_impl(q, k, v, segment_mask, sm_scale, packed), (
         q, k, v, segment_mask,
     )
 
 
-def _bwd(sm_scale, res, g):
+def _bwd(sm_scale, packed, res, g):
     q, k, v, segment_mask = res
     _, vjp = jax.vjp(
-        lambda q, k, v: _reference_attention(q, k, v, segment_mask, sm_scale), q, k, v
+        lambda q, k, v: _reference_attention(q, k, v, segment_mask, sm_scale, packed),
+        q, k, v,
     )
     dq, dk, dv = vjp(g)
     return dq, dk, dv, None

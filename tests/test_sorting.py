@@ -26,6 +26,19 @@ def test_speed_sanity():
 
     rng = np.random.default_rng(0)
     key = rng.integers(0, 30_000 * 256, size=4_000_000, dtype=np.int64)
-    t = time.time(); radix_argsort(key); fast = time.time() - t
-    t = time.time(); np.argsort(key, kind="stable"); slow = time.time() - t
+    # warm both paths (first-touch page faults dominate a cold run), then
+    # compare best-of-3 — single-shot wall clock is flaky under CI load
+    radix_argsort(key)
+    np.argsort(key, kind="stable")
+
+    def best(fn, n=3):
+        times = []
+        for _ in range(n):
+            t = time.time()
+            fn()
+            times.append(time.time() - t)
+        return min(times)
+
+    fast = best(lambda: radix_argsort(key))
+    slow = best(lambda: np.argsort(key, kind="stable"))
     assert fast < slow, (fast, slow)
