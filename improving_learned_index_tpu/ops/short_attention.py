@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 interpret = False  # tests flip this to run on the CPU backend
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, seg_ref, o_ref, *, sm_scale, packed):
+def _attn_kernel(q_ref, k_ref, v_ref, seg_ref, segc_ref, o_ref, *, sm_scale, packed):
     # One grid program per batch element, all heads batched into one pair of
     # MXU matmuls — a (batch, head) grid (tiny [S, D] operands) measured no
     # faster than XLA: per-program overhead swamped the work.  Inputs arrive
@@ -59,8 +59,11 @@ def _attn_kernel(q_ref, k_ref, v_ref, seg_ref, o_ref, *, sm_scale, packed):
         # (block-diagonal).  exp(-1e9 - max) underflows to exactly 0, so
         # cross-document probabilities contribute exact zeros to the context
         # matmul — packed outputs match unpacked ones bit-for-bit up to
-        # accumulation tiling.
-        allowed = seg[0, :, None] == seg[0, None, :]  # [S, S]
+        # accumulation tiling.  The column orientation arrives as its own
+        # input ([S, 1], transposed by XLA outside the kernel): deriving it
+        # in-kernel from the [1, S] row would be a sublane<->lane relayout
+        # that Mosaic lowers through an unsupported gather.
+        allowed = segc_ref[0, :, :] == seg  # [S, 1] == [1, S] -> [S, S]
         logits = logits + jnp.where(allowed, 0.0, -1e9)[None, :, :]
     else:
         logits = logits + jnp.where(seg == 0, -1e9, 0.0)[None, :, :]
@@ -86,12 +89,13 @@ def _short_attention_fwd_impl(q, k, v, segment_mask, sm_scale, packed=False):
             pl.BlockSpec((1, h, s, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h, s, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, h, s, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(q, k, v, segment_mask[:, None, :])
+    )(q, k, v, segment_mask[:, None, :], segment_mask[:, :, None])
 
 
 def _reference_attention(q, k, v, segment_mask, sm_scale, packed=False):
