@@ -424,13 +424,17 @@ class HybridSearchEngine:
             self.n_pad = ((self.num_docs + 127) // 128) * 128
         # Pallas kernels need a real TPU backend (CPU tests keep the XLA
         # paths), the integer impact lattice (bf16 one-hot exactness), and
-        # tile-aligned padding.  OPT-IN for now (use_pallas=True): the
-        # kernels are exact on TPU and interpret-tested on CPU, but a
-        # sporadic runtime failure seen once during a relay outage is not
-        # yet ruled out as a kernel issue — the serving default stays the
-        # measured XLA path until a 40-batch TPU stress run is clean.
-        # Tests flip _pallas on with _pallas_interpret so the dispatch
-        # path runs through the Pallas interpreter on CPU.
+        # tile-aligned padding.  OPT-IN (use_pallas=True), by measurement:
+        # the 40-batch TPU stress gate is clean (0/40 failures, 0/64
+        # mismatches vs XLA — benchmarks/tpu_validation.log 2026-08-18, so
+        # the once-seen relay-outage error was not a kernel fault), but the
+        # same run's interleaved pipelined A/B has the XLA path FASTER end
+        # to end (453/470 q/s vs 413/272 at 1M docs): the per-stage kernel
+        # wins (scatter 7.9 vs 18 ms) don't survive pipelining, where the
+        # scatter overlaps the host top-k anyway.  The serving default
+        # stays the measured winner.  Tests flip _pallas on with
+        # _pallas_interpret so the dispatch path runs through the Pallas
+        # interpreter on CPU.
         pallas_ok = (
             integer_scores
             and self.n_pad % _SCATTER_TILE == 0
