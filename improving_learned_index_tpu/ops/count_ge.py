@@ -14,7 +14,14 @@ it VMEM-resident; only the final block is written back).  Counts
 accumulate in fp32 — exact below 2^24, far above any [Q, N] row length we
 serve.
 
-Opt-in (exact_topk reads ILI_TOPK_PALLAS=1) until measured on hardware.
+Opt-in (exact_topk reads ILI_TOPK_PALLAS=1).  Measured on v5e-1
+(benchmarks/topk_profile.py, tpu_validation.log 2026-08-18): exact match
+with the XLA form, but no speed win — one count pass times at 24-25ms for
+BOTH paths at [32, 8.8M] and [64, 1M], which is the ~22ms axon relay
+dispatch floor, not compute (the bandwidth floor is ~1.4ms).  A sync-
+timed single op cannot resolve below the dispatch floor here, and in the
+pipelined engine the pass overlaps adjacent stages anyway, so the default
+stays XLA.
 """
 
 from __future__ import annotations
