@@ -51,6 +51,11 @@ def main(argv=None) -> int:
     parser.add_argument("--use_wandb", action="store_true")
     parser.add_argument("--enable_profiler", action="store_true",
                         help="jax.profiler trace under <checkpoint_dir>/profile")
+    parser.add_argument("--pack", action="store_true",
+                        help="sequence-packed training batches (train/packed.py): "
+                        "several short documents per [max_length] row, same "
+                        "loss/gradients to fp tolerance, ~2-3x step throughput "
+                        "at MSMARCO doc lengths; pairwise_ce/distil only")
     args = parser.parse_args(argv)
 
     assert not (args.distil_mse and args.distil_kl), "cannot use both distillation losses"
@@ -93,7 +98,16 @@ def main(argv=None) -> int:
     else:
         dataset = MSMarcoTriples(args.dataset_path, args.queries_path, args.collection_path)
 
+    mesh = make_mesh()
     collate = partial(COLLATES[loss], tokenizer=model.tokenizer, max_length=max_length)
+    if args.pack:
+        from ..train.packed import PACKABLE_LOSSES, packing_collate
+
+        assert loss in PACKABLE_LOSSES, (
+            f"--pack supports {PACKABLE_LOSSES} (per-document masks); "
+            f"{loss} scores documents under many query masks — train unpacked"
+        )
+        collate = packing_collate(collate, n_data=int(mesh.shape["data"]))
     loader = BatchLoader(
         dataset, args.batch_size, collate, shuffle=True, seed=args.seed, drop_last=True
     )
@@ -124,7 +138,7 @@ def main(argv=None) -> int:
         model,
         config,
         args.checkpoint_dir,
-        mesh=make_mesh(),
+        mesh=mesh,
         evaluator=evaluator,
         metrics_logger=metrics_logger,
     )

@@ -43,10 +43,35 @@ def masked_doc_scores(token_scores: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndar
     return jnp.sum(masks * token_scores[..., 0], axis=-1)
 
 
+def packed_doc_scores(token_scores: jnp.ndarray, batch: Dict) -> jnp.ndarray:
+    """Per-document scores from a sequence-packed batch (train/packed.py):
+    the same sum of mask * token_score per document, recovered with one
+    scatter-add over the packed doc_index map (padding slots land on the
+    dummy trailing row of doc_base and are sliced off)."""
+    vals = batch["masks"] * token_scores[..., 0]  # [R, S]
+    base = jnp.zeros(batch["doc_base"].shape[0], vals.dtype)  # static [N+1]
+    return base.at[jnp.ravel(batch["doc_index"])].add(jnp.ravel(vals))[:-1]
+
+
 def make_loss_fn(module, loss_name: str) -> Callable:
-    """Build loss_fn(params, batch) -> scalar for the given objective."""
+    """Build loss_fn(params, batch) -> scalar for the given objective.
+
+    Batches carrying ``segment_ids`` (sequence-packed, train/packed.py) take
+    the packed forward — block-diagonal attention, per-segment positions —
+    for the objectives whose mask is per-document (pairwise_ce, distil_*);
+    packed and unpacked losses/gradients agree to fp tolerance
+    (tests/test_packed_training.py)."""
 
     def forward(params, batch):
+        if "segment_ids" in batch:
+            return module.apply(
+                {"params": params},
+                batch["input_ids"],
+                (batch["segment_ids"] > 0).astype(jnp.int32),
+                batch["type_ids"],
+                deterministic=True,
+                segment_ids=batch["segment_ids"],
+            )
         return module.apply(
             {"params": params},
             batch["input_ids"],
@@ -55,20 +80,24 @@ def make_loss_fn(module, loss_name: str) -> Callable:
             deterministic=True,
         )
 
+    def doc_scores(token_scores, batch):
+        if "segment_ids" in batch:
+            return packed_doc_scores(token_scores, batch)
+        return masked_doc_scores(token_scores, batch["masks"])
+
     if loss_name == "pairwise_ce":
 
         def loss_fn(params, batch):
             token_scores = forward(params, batch)
-            scores = masked_doc_scores(token_scores, batch["masks"])
-            scores = scores.reshape(batch["masks"].shape[0] // 2, -1)
-            return pairwise_ce(scores)
+            scores = doc_scores(token_scores, batch)
+            return pairwise_ce(scores.reshape(-1, 2))
 
     elif loss_name in ("distil_kl", "distil_mse"):
         loss = distil_kl if loss_name == "distil_kl" else distil_margin_mse
 
         def loss_fn(params, batch):
             token_scores = forward(params, batch)
-            scores = masked_doc_scores(token_scores, batch["masks"])
+            scores = doc_scores(token_scores, batch)
             scores = scores.reshape(batch["scores"].shape)
             return loss(scores, batch["scores"])
 
@@ -185,6 +214,12 @@ class Trainer:
             if k == "group_size":
                 continue  # static metadata; jit sees only arrays
             arr = np.asarray(v)
+            if k == "doc_base":
+                # packed-batch scatter target [N+1]: replicated by design
+                # (N+1 is deliberately not row-aligned; the scatter output
+                # is tiny and XLA reduces it across shards).
+                out[k] = jax.device_put(arr, replicated(self.mesh))
+                continue
             if arr.shape[0] % self.n_data == 0:
                 out[k] = jax.device_put(arr, data_sharding(self.mesh, arr.ndim))
             else:
