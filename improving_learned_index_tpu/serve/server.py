@@ -312,7 +312,13 @@ class RetrievalServer:
                     self.stats.errors += len(live)
                 continue
             now = time.time()
-            lat = []
+            # Record BEFORE sending: a client that has its answer must see
+            # itself in a stats snapshot (tests and monitoring rely on
+            # "response received => counted"; recording after the send loop
+            # races the client's follow-up stats call).
+            self.stats.record_batch(
+                len(live), [(now - t0) * 1e3 for (_, _, _, t0) in live]
+            )
             for (conn, lock, req, t0), scores in zip(live, results):
                 want_k = int(req.get("k", self.top_k))
                 self._send(
@@ -322,5 +328,3 @@ class RetrievalServer:
                         "results": [[int(d), float(s)] for d, s in scores[:want_k]],
                     },
                 )
-                lat.append((now - t0) * 1e3)
-            self.stats.record_batch(len(live), lat)
