@@ -88,6 +88,69 @@ def measure_jax(batch: int, seq: int, iters: int = 6) -> float:
     return n_docs / med
 
 
+def measure_jax_realistic(batch: int, seq: int, doc_tokens: int, pack: bool,
+                          iters: int = 6) -> tuple:
+    """Full jitted step at realistic document lengths (~doc_tokens real
+    tokens right-padded to seq), optionally sequence-packed via
+    train/packed.pack_collated — the exact production train path
+    (trainer.make_loss_fn branches on the packed keys)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+    import optax
+
+    from improving_learned_index_tpu.core.config import EncoderConfig
+    from improving_learned_index_tpu.models.encoder import DeepImpactModel, init_params
+    from improving_learned_index_tpu.train.packed import pack_collated
+    from improving_learned_index_tpu.train.trainer import make_loss_fn
+
+    config = EncoderConfig(**GEOM, impact_activation="relu",
+                           hidden_dropout=0.0, attention_dropout=0.0)
+    module = DeepImpactModel(config)
+    params = init_params(module, config, jax.random.PRNGKey(0), max_length=16)
+    tx = optax.chain(optax.clip_by_global_norm(2.0), optax.adamw(3e-6))
+    opt_state = tx.init(params)
+
+    n_docs = 2 * batch
+    rng = np.random.default_rng(0)
+    lengths = rng.integers(doc_tokens - 20, doc_tokens + 21, n_docs)
+    ids = np.zeros((n_docs, seq), np.int32)
+    att = np.zeros((n_docs, seq), np.int32)
+    msk = np.zeros((n_docs, seq), np.float32)
+    for i, ln in enumerate(lengths):
+        ids[i, :ln] = rng.integers(1, GEOM["vocab_size"], ln)
+        att[i, :ln] = 1
+        msk[i, :ln] = rng.random(ln) < 0.2
+    arrays = {"input_ids": ids, "attention_mask": att,
+              "type_ids": np.zeros((n_docs, seq), np.int32), "masks": msk}
+    rows = n_docs
+    if pack:
+        arrays = pack_collated(arrays)
+        rows = arrays["input_ids"].shape[0]
+    loss_fn = make_loss_fn(module, "pairwise_ce")
+
+    @jax.jit
+    def step(p, o, batch_):
+        loss, grads = jax.value_and_grad(loss_fn)(p, batch_)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    t0 = time.time()
+    params, opt_state, loss = step(params, opt_state, arrays)
+    print(f"{'packed' if pack else 'padded'} compile+first: "
+          f"{time.time()-t0:.1f}s loss={float(loss):.4f} rows={rows}",
+          file=sys.stderr)
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        params, opt_state, loss = step(params, opt_state, arrays)
+        float(loss)
+        times.append(time.time() - t0)
+    med = statistics.median(times)
+    print(f"iters(ms): {[round(t*1000,1) for t in times]}", file=sys.stderr)
+    return n_docs / med, rows
+
+
 def measure_torch(seq: int) -> float:
     import torch
     from transformers import BertConfig, BertModel
@@ -129,7 +192,28 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--seq", type=int, default=256)
+    ap.add_argument("--realistic", action="store_true",
+                    help="packed-vs-padded A/B at ~--doc_tokens real tokens "
+                    "per document (the MSMARCO training shape) instead of "
+                    "the full-row headline measurement")
+    ap.add_argument("--doc_tokens", type=int, default=62)
     args = ap.parse_args()
+
+    if args.realistic:
+        padded, _ = measure_jax_realistic(args.batch, args.seq, args.doc_tokens, False)
+        packed, rows = measure_jax_realistic(args.batch, args.seq, args.doc_tokens, True)
+        out = {
+            "metric": "train_docs_per_s_realistic",
+            "workload": f"~{args.doc_tokens}-token docs, bert-base S={args.seq}, "
+                        f"B={args.batch} queries ({2*args.batch} docs/step)",
+            "padded_docs_per_s": round(padded, 1),
+            "packed_docs_per_s": round(packed, 1),
+            "packed_rows_per_step": rows,
+            "speedup": round(packed / padded, 2),
+        }
+        (REPO / "benchmarks" / "PACKED_TRAIN.json").write_text(json.dumps(out, indent=1))
+        print(json.dumps(out))
+        return
 
     tpu = measure_jax(args.batch, args.seq)
     cache = REPO / ".bench_baseline.json"

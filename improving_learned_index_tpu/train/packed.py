@@ -38,20 +38,27 @@ import numpy as np
 
 
 def row_buckets(n_docs: int, n_data: int = 1) -> Sequence[int]:
-    """Row-count buckets for a batch of ``n_docs`` documents: N/8, N/4,
-    N/2, N rows, each rounded up to a multiple of the data axis (so packed
-    rows shard evenly over the mesh).  N rows always suffice — each
-    document fits one row by construction."""
+    """Row-count buckets for a batch of ``n_docs`` documents: multiples of
+    ceil(N/16) up to N rows, each rounded up to a multiple of the data axis
+    (so packed rows shard evenly over the mesh).  N rows always suffice —
+    each document fits one row by construction.  Ladder granularity is a
+    compile-count / padding-waste trade: a power-of-2 ladder measured 64
+    rows for a 34-row batch (1.9x step speedup where ~3x was available);
+    N/16 steps waste <= ~9% rows for <= 16 compiled shapes, and in practice
+    a stationary doc-length distribution revisits only 1-2 of them."""
 
     def up(x: int) -> int:
         x = max(1, x)
         return -(-x // n_data) * n_data
 
+    step = -(-n_docs // 16)
     out = []
-    for div in (8, 4, 2, 1):
-        b = up(-(-n_docs // div))
+    for k in range(1, 17):
+        b = up(min(k * step, n_docs))
         if not out or b > out[-1]:
             out.append(b)
+        if b >= n_docs:
+            break
     return out
 
 

@@ -48,9 +48,16 @@ def _collated(tokenizer, loss, max_length=32):
 
 class TestPackCollated:
     def test_row_buckets_cover_and_align(self):
-        assert row_buckets(16, 1) == [2, 4, 8, 16]
+        assert row_buckets(16, 1) == list(range(1, 17))  # ceil(N/16)=1 steps
         assert row_buckets(16, 8) == [8, 16]
         assert row_buckets(3, 2) == [2, 4]  # every bucket data-axis aligned
+        assert row_buckets(64, 1) == [4 * k for k in range(1, 17)]
+        # final bucket always covers n_docs
+        for n in (1, 5, 17, 33, 100):
+            for d in (1, 2, 8):
+                bs = row_buckets(n, d)
+                assert bs[-1] >= n and all(b % d == 0 for b in bs)
+                assert bs == sorted(set(bs))
 
     def test_layout_roundtrip(self, tiny_tokenizer):
         arrays = _collated(tiny_tokenizer, "pairwise_ce")
