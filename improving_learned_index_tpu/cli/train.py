@@ -51,11 +51,17 @@ def main(argv=None) -> int:
     parser.add_argument("--use_wandb", action="store_true")
     parser.add_argument("--enable_profiler", action="store_true",
                         help="jax.profiler trace under <checkpoint_dir>/profile")
-    parser.add_argument("--pack", action="store_true",
-                        help="sequence-packed training batches (train/packed.py): "
-                        "several short documents per [max_length] row, same "
-                        "loss/gradients to fp tolerance, ~2-3x step throughput "
-                        "at MSMARCO doc lengths; pairwise_ce/distil only")
+    parser.add_argument("--pack", action="store_true", default=None,
+                        help="force sequence-packed training batches "
+                        "(train/packed.py): several short documents per "
+                        "[max_length] row, same loss/gradients to fp "
+                        "tolerance, 2.5x step throughput at MSMARCO doc "
+                        "lengths (benchmarks/PACKED_TRAIN.json); "
+                        "pairwise_ce/distil only.  DEFAULT for those "
+                        "losses — the flag only matters to assert")
+    parser.add_argument("--no_pack", action="store_true",
+                        help="disable sequence packing (row per document, "
+                        "the reference layout)")
     args = parser.parse_args(argv)
 
     assert not (args.distil_mse and args.distil_kl), "cannot use both distillation losses"
@@ -100,13 +106,19 @@ def main(argv=None) -> int:
 
     mesh = make_mesh()
     collate = partial(COLLATES[loss], tokenizer=model.tokenizer, max_length=max_length)
-    if args.pack:
-        from ..train.packed import PACKABLE_LOSSES, packing_collate
+    from ..train.packed import PACKABLE_LOSSES, packing_collate
 
+    if args.pack:
+        assert not args.no_pack, "--pack and --no_pack conflict"
         assert loss in PACKABLE_LOSSES, (
             f"--pack supports {PACKABLE_LOSSES} (per-document masks); "
             f"{loss} scores documents under many query masks — train unpacked"
         )
+    # Packing is the measured winner (2.52x step throughput at MSMARCO doc
+    # lengths, identical loss/gradients to fp tolerance) so it is the
+    # default wherever it applies; --no_pack restores the reference's
+    # row-per-document layout.
+    if (args.pack or loss in PACKABLE_LOSSES) and not args.no_pack:
         collate = packing_collate(collate, n_data=int(mesh.shape["data"]))
     loader = BatchLoader(
         dataset, args.batch_size, collate, shuffle=True, seed=args.seed, drop_last=True

@@ -18,8 +18,9 @@ packing (text/packing.py) applied to the collated step batch:
   N-th row that is sliced off) — exactly ``sum(mask * token_scores)`` per
   document, the reference objective (trainer.py:158-163), just summed in
   packed order;
-- R is bucketed (N, N/2, N/4, N/8, rounded up to the mesh's data-axis
-  multiple) so compiled shapes stay bounded across steps.
+- R is bucketed in ceil(N/16) steps up to N rows (each rounded up to the
+  mesh's data-axis multiple) so compiled shapes stay bounded across steps
+  while wasting at most ~9% of rows to bucket padding.
 
 Supported objectives: ``pairwise_ce``, ``distil_kl``, ``distil_mse`` —
 every objective whose mask is per-document.  ``in_batch_negatives`` and

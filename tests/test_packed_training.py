@@ -156,3 +156,50 @@ def test_cli_rejects_unpackable_loss(tiny_tokenizer, tmp_path):
             "--in_batch_negatives", "--pack", "--no_beir_eval",
             "--max_length", "32",
         ])
+
+
+def test_cli_packs_by_default_and_no_pack_opts_out(tiny_tokenizer, tmp_path, monkeypatch):
+    """Packing is the measured winner (benchmarks/PACKED_TRAIN.json) so the
+    train CLI applies it by default for packable losses; --no_pack restores
+    the reference's row-per-document layout; unpackable losses silently
+    train unpacked (no flag needed)."""
+    from improving_learned_index_tpu.cli import train as train_cli
+    from improving_learned_index_tpu.train import packed as packed_mod
+
+    triples = tmp_path / "triples.tsv"
+    queries = tmp_path / "queries.tsv"
+    collection = tmp_path / "collection.tsv"
+    queries.write_text("0\tquick fox\n")
+    collection.write_text("0\tthe quick brown fox\n1\tsleepy dog naps\n")
+    triples.write_text("0\t0\t1\n0\t0\t1\n")
+    vocab_path = tmp_path / "vocab.txt"
+    tiny_tokenizer.vocab.save(vocab_path)
+
+    calls = []
+    real = packed_mod.packing_collate
+    monkeypatch.setattr(
+        packed_mod, "packing_collate",
+        lambda *a, **k: calls.append(1) or real(*a, **k),
+    )
+    common = [
+        "--dataset_path", str(triples),
+        "--queries_path", str(queries),
+        "--collection_path", str(collection),
+        "--vocab_path", str(vocab_path),
+        "--tiny", "--max_length", "32", "--batch_size", "2",
+        "--total_steps", "1", "--no_beir_eval", "--save_every", "1000000",
+    ]
+    assert train_cli.main(common + ["--checkpoint_dir", str(tmp_path / "c1")]) == 0
+    assert calls, "pairwise_ce (packable) must pack by default"
+
+    calls.clear()
+    assert train_cli.main(
+        common + ["--no_pack", "--checkpoint_dir", str(tmp_path / "c2")]
+    ) == 0
+    assert not calls, "--no_pack must disable packing"
+
+    calls.clear()
+    assert train_cli.main(
+        common + ["--in_batch_negatives", "--checkpoint_dir", str(tmp_path / "c3")]
+    ) == 0
+    assert not calls, "unpackable loss must train unpacked without a flag"
