@@ -89,11 +89,15 @@ def measure_jax(batch: int, seq: int, iters: int = 6) -> float:
 
 
 def measure_jax_realistic(batch: int, seq: int, doc_tokens: int, pack: bool,
+                          loss: str = "pairwise_ce", group: int = 8,
                           iters: int = 6) -> tuple:
     """Full jitted step at realistic document lengths (~doc_tokens real
     tokens right-padded to seq), optionally sequence-packed via
     train/packed.pack_collated — the exact production train path
-    (trainer.make_loss_fn branches on the packed keys)."""
+    (trainer.make_loss_fn branches on the packed keys).  ``loss`` is
+    pairwise_ce (2 docs/query) or distil_kl/distil_mse (``group``
+    teacher-scored passages per query, the reference's flagship
+    distillation workload)."""
     import jax
 
     jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
@@ -111,7 +115,8 @@ def measure_jax_realistic(batch: int, seq: int, doc_tokens: int, pack: bool,
     tx = optax.chain(optax.clip_by_global_norm(2.0), optax.adamw(3e-6))
     opt_state = tx.init(params)
 
-    n_docs = 2 * batch
+    per_query = group if loss.startswith("distil") else 2
+    n_docs = per_query * batch
     rng = np.random.default_rng(0)
     lengths = rng.integers(doc_tokens - 20, doc_tokens + 21, n_docs)
     ids = np.zeros((n_docs, seq), np.int32)
@@ -122,12 +127,16 @@ def measure_jax_realistic(batch: int, seq: int, doc_tokens: int, pack: bool,
         att[i, :ln] = 1
         msk[i, :ln] = rng.random(ln) < 0.2
     arrays = {"input_ids": ids, "attention_mask": att,
-              "type_ids": np.zeros((n_docs, seq), np.int32), "masks": msk}
+              "type_ids": np.zeros((n_docs, seq), np.int32), "masks": msk,
+              "group_size": per_query}
+    if loss.startswith("distil"):
+        arrays["scores"] = rng.normal(size=(batch, group)).astype(np.float32)
     rows = n_docs
     if pack:
         arrays = pack_collated(arrays)
         rows = arrays["input_ids"].shape[0]
-    loss_fn = make_loss_fn(module, "pairwise_ce")
+    arrays.pop("group_size")  # static metadata; Trainer._put_batch drops it too
+    loss_fn = make_loss_fn(module, loss)
 
     @jax.jit
     def step(p, o, batch_):
@@ -197,21 +206,31 @@ def main():
                     "per document (the MSMARCO training shape) instead of "
                     "the full-row headline measurement")
     ap.add_argument("--doc_tokens", type=int, default=62)
+    ap.add_argument("--loss", default="pairwise_ce",
+                    choices=["pairwise_ce", "distil_kl", "distil_mse"])
+    ap.add_argument("--group", type=int, default=8,
+                    help="teacher-scored passages per query (distil losses)")
     args = ap.parse_args()
 
     if args.realistic:
-        padded, _ = measure_jax_realistic(args.batch, args.seq, args.doc_tokens, False)
-        packed, rows = measure_jax_realistic(args.batch, args.seq, args.doc_tokens, True)
+        per_query = args.group if args.loss.startswith("distil") else 2
+        padded, _ = measure_jax_realistic(args.batch, args.seq, args.doc_tokens,
+                                          False, args.loss, args.group)
+        packed, rows = measure_jax_realistic(args.batch, args.seq, args.doc_tokens,
+                                             True, args.loss, args.group)
         out = {
             "metric": "train_docs_per_s_realistic",
+            "loss": args.loss,
             "workload": f"~{args.doc_tokens}-token docs, bert-base S={args.seq}, "
-                        f"B={args.batch} queries ({2*args.batch} docs/step)",
+                        f"B={args.batch} queries ({per_query*args.batch} docs/step)",
             "padded_docs_per_s": round(padded, 1),
             "packed_docs_per_s": round(packed, 1),
             "packed_rows_per_step": rows,
             "speedup": round(packed / padded, 2),
         }
-        (REPO / "benchmarks" / "PACKED_TRAIN.json").write_text(json.dumps(out, indent=1))
+        name = "PACKED_TRAIN_DISTIL.json" if args.loss.startswith("distil") \
+            else "PACKED_TRAIN.json"
+        (REPO / "benchmarks" / name).write_text(json.dumps(out, indent=1))
         print(json.dumps(out))
         return
 
