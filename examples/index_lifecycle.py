@@ -10,6 +10,12 @@ index from the full corpus and ships no serving process."""
 from __future__ import annotations
 
 import argparse
+import sys
+from pathlib import Path as _P
+
+# self-locating: runnable without PYTHONPATH from any cwd
+sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
+
 import json
 import socket
 import tempfile

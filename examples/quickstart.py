@@ -13,6 +13,12 @@ Swap the tiny random models for real checkpoints via models.hf_import
 from __future__ import annotations
 
 import argparse
+import sys
+from pathlib import Path as _P
+
+# self-locating: runnable without PYTHONPATH from any cwd
+sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
+
 import tempfile
 from pathlib import Path
 

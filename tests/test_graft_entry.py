@@ -38,4 +38,8 @@ def test_entry_compiles():
 
     fn, args = __graft_entry__.entry()
     out = jax.jit(fn)(*args)
-    assert out.shape[0] == args[0].shape[0]
+    # args = (params, input_ids, attention_mask, type_ids): params must be
+    # an explicit argument, not a closure capture — captured arrays become
+    # HLO literals and overflow the axon relay's remote-compile body limit
+    assert isinstance(args[0], dict)
+    assert out.shape[0] == args[1].shape[0]
