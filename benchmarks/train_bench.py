@@ -118,7 +118,7 @@ def measure_jax_realistic(batch: int, seq: int, doc_tokens: int, pack: bool,
     per_query = group if loss.startswith("distil") else 2
     n_docs = per_query * batch
     rng = np.random.default_rng(0)
-    lengths = rng.integers(doc_tokens - 20, doc_tokens + 21, n_docs)
+    lengths = rng.integers(doc_tokens - 20, doc_tokens + 21, n_docs).clip(1, seq)
     ids = np.zeros((n_docs, seq), np.int32)
     att = np.zeros((n_docs, seq), np.int32)
     msk = np.zeros((n_docs, seq), np.float32)
