@@ -55,7 +55,7 @@ def main(argv=None) -> int:
                         help="force sequence-packed training batches "
                         "(train/packed.py): several short documents per "
                         "[max_length] row, same loss/gradients to fp "
-                        "tolerance, 2.5x step throughput at MSMARCO doc "
+                        "tolerance, 2.5-3.2x step throughput at MSMARCO doc "
                         "lengths (benchmarks/PACKED_TRAIN.json); "
                         "pairwise_ce/distil only.  DEFAULT for those "
                         "losses — the flag only matters to assert")
@@ -116,7 +116,7 @@ def main(argv=None) -> int:
                 f"--pack supports {PACKABLE_LOSSES} (per-document masks); "
                 f"{loss} scores documents under many query masks — train unpacked"
             )
-    # Packing is the measured winner (2.52x step throughput at MSMARCO doc
+    # Packing is the measured winner (2.5-3.2x step throughput at MSMARCO doc
     # lengths, identical loss/gradients to fp tolerance) so it is the
     # default wherever it applies; --no_pack restores the reference's
     # row-per-document layout.
