@@ -10,12 +10,12 @@ host/native engine when requested.
 
 from __future__ import annotations
 
-from itertools import product
 from pathlib import Path
 from typing import Optional, Union
 
 from ..core.logging import get_logger
 from ..data.datasets import Queries, QueryRelevanceDataset, RunFile
+from ..utils.text_utils import expand_pairwise_terms
 from ..search.select import build_engine
 
 logger = get_logger("ranker")
@@ -61,10 +61,7 @@ class Ranker:
     def get_query_terms(self, qid: str):
         terms = self.tokenizer.process_query(self.queries[qid])
         if self.pairwise:
-            # composite term1|term2 postings (reference ranker.py:53-57)
-            for t1, t2 in product(list(terms), list(terms)):
-                if t1 != t2:
-                    terms.add(f"{t1}|{t2}")
+            expand_pairwise_terms(terms)
         return terms
 
     def run(self) -> int:

@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import socket
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import List, Sequence, Set, Tuple
 
 from ..core.logging import get_logger
@@ -72,6 +73,12 @@ class ShardClient:
                     for _ in term_sets:
                         resp = json.loads(self._file.readline())
                         if "error" in resp:
+                            # close BEFORE raising: the remaining batch
+                            # responses are still buffered in self._file, and
+                            # a later call would read them as answers to ITS
+                            # queries (same 0..N-1 ids) — silently wrong
+                            # results from a healthy shard
+                            self.close()
                             raise RuntimeError(
                                 f"shard {self.host}:{self.port}: {resp['error']}"
                             )
@@ -90,16 +97,26 @@ class ShardClient:
 
 
 def _parse_shard_spec(spec: str) -> List[ShardClient]:
-    """"host:port:doc_offset,host:port:doc_offset,..." (offset optional)."""
+    """"host:port:doc_offset,host:port:doc_offset,..." (offset optional).
+    IPv6 hosts must be bracketed ("[::1]:8000:0") — an unbracketed IPv6
+    literal is ambiguous with the port/offset separators and is rejected
+    instead of silently connecting to the wrong endpoint."""
     clients = []
     for part in spec.split(","):
-        bits = part.strip().rsplit(":", 2)
-        if len(bits) == 3 and bits[2].lstrip("-").isdigit() and bits[1].isdigit():
-            host, port, off = bits[0], int(bits[1]), int(bits[2])
+        part = part.strip()
+        if part.startswith("["):
+            host, _, rest = part[1:].partition("]")
+            bits = rest.lstrip(":").split(":") if rest.lstrip(":") else []
         else:
-            host, port = part.strip().rsplit(":", 1)
-            port, off = int(port), 0
-        clients.append(ShardClient(host, port, off))
+            host, *bits = part.split(":")
+        if (not host or not 1 <= len(bits) <= 2 or not bits[0].isdigit()
+                or (len(bits) == 2 and not bits[1].lstrip("-").isdigit())):
+            raise ValueError(
+                f"bad shard spec {part!r}: want host:port[:doc_offset] "
+                "(bracket IPv6 hosts: [::1]:8000)"
+            )
+        clients.append(ShardClient(host, int(bits[0]),
+                                   int(bits[1]) if len(bits) == 2 else 0))
     return clients
 
 
@@ -113,32 +130,26 @@ class RemoteShardedEngine:
         self.shards: List[ShardClient] = list(shards)
         if not self.shards:
             raise ValueError("need at least one shard")
+        # one long-lived pool: score_batch runs per micro-batch (~ms cadence
+        # in the router hot path) — spawning fresh threads per call costs
+        # latency jitter; the pool also propagates fetch exceptions
+        self._pool = ThreadPoolExecutor(
+            max_workers=len(self.shards), thread_name_prefix="shard-fetch"
+        )
 
     def close(self):
+        self._pool.shutdown(wait=False)
         for s in self.shards:
             s.close()
 
     def score_batch(
         self, query_term_sets: Sequence[Set[str]], top_k: int = 1000
     ) -> List[List[Tuple[int, float]]]:
-        results: List[List[List[Tuple[int, float]]]] = [None] * len(self.shards)  # type: ignore
-        errors: List[Exception] = []
-
-        def fetch(i: int):
-            try:
-                results[i] = self.shards[i].score_batch(query_term_sets, top_k)
-            except Exception as e:  # surfaced after join
-                errors.append(e)
-
-        threads = [
-            threading.Thread(target=fetch, args=(i,)) for i in range(len(self.shards))
+        futures = [
+            self._pool.submit(s.score_batch, query_term_sets, top_k)
+            for s in self.shards
         ]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        if errors:
-            raise errors[0]
+        results = [f.result() for f in futures]  # re-raises shard errors
         merged = []
         for q in range(len(query_term_sets)):
             rows = [row for shard in results for row in shard[q]]

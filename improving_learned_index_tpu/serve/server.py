@@ -32,10 +32,10 @@ import socket
 import threading
 import time
 from collections import deque
-from itertools import product
 from typing import List, Optional, Tuple
 
 from ..core.logging import get_logger
+from ..utils.text_utils import expand_pairwise_terms
 
 logger = get_logger("serve")
 
@@ -116,12 +116,12 @@ class RetrievalServer:
     # -- lifecycle ---------------------------------------------------------
     def start(self) -> int:
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        # SO_REUSEADDR covers the restart case (TIME_WAIT/FIN_WAIT sockets
+        # from the previous instance); deliberately NOT SO_REUSEPORT — that
+        # would let a second daemon bind the same port and silently steal a
+        # kernel-balanced share of connections (e.g. serving a stale index),
+        # where EADDRINUSE is the error the operator needs to see
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-        # restart-friendly: a replacement daemon can bind while the old
-        # instance's connections drain (FIN_WAIT sockets on the port would
-        # otherwise EADDRINUSE past SO_REUSEADDR)
-        if hasattr(socket, "SO_REUSEPORT"):
-            self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEPORT, 1)
         self._sock.bind((self._host, self._requested_port))
         self._sock.listen(128)
         # a blocked accept() is NOT interrupted by close() on Linux — poll
@@ -201,6 +201,13 @@ class RetrievalServer:
                     with self.stats.lock:
                         self.stats.errors += 1
                     continue
+                if not isinstance(req, dict):
+                    # valid JSON but not a request object ('5', '[1,2]'):
+                    # reply instead of letting req.get kill the conn thread
+                    self._send(conn, send_lock, {"error": "request must be a JSON object"})
+                    with self.stats.lock:
+                        self.stats.errors += 1
+                    continue
                 op = req.get("op")
                 if op == "ping":
                     self._send(conn, send_lock, {"op": "pong"})
@@ -253,12 +260,15 @@ class RetrievalServer:
     # -- batching ----------------------------------------------------------
     def _take_batch(self) -> List[Tuple]:
         """Block until work, then collect up to max_batch requests, waiting
-        at most max_wait_ms past the first for stragglers."""
+        at most max_wait_ms past the first for stragglers.  On stop, returns
+        EVERYTHING still queued so the batch loop can refuse it explicitly."""
         with self._queue_cv:
             while not self._queue and not self._stop.is_set():
                 self._queue_cv.wait(timeout=0.2)
             if self._stop.is_set():
-                return []
+                out = list(self._queue)
+                self._queue.clear()
+                return out
             deadline = self._queue[0][3] + self.max_wait_ms / 1e3
             while len(self._queue) < self.max_batch:
                 remaining = deadline - time.time()
@@ -272,6 +282,9 @@ class RetrievalServer:
 
     def _terms_of(self, req: dict) -> set:
         if "terms" in req:
+            if not isinstance(req["terms"], (list, tuple, set)):
+                # a bare string would silently score character-by-character
+                raise ValueError("'terms' must be a list of strings")
             terms = set(map(str, req["terms"]))
         elif "query" in req:
             if self.tokenizer is None:
@@ -280,51 +293,72 @@ class RetrievalServer:
         else:
             raise ValueError("need 'terms' or 'query'")
         if self.pairwise:
-            for t1, t2 in product(list(terms), list(terms)):
-                if t1 != t2:
-                    terms.add(f"{t1}|{t2}")
+            expand_pairwise_terms(terms)
         return terms
 
     def _batch_loop(self) -> None:
-        while not self._stop.is_set():
+        while True:
             batch = self._take_batch()
+            if self._stop.is_set():
+                # drain: refuse still-queued work explicitly instead of
+                # silently dropping it (a pipelined client would otherwise
+                # see a bare FIN for requests the daemon accepted)
+                for conn, lock, req, _ in batch:
+                    self._send(conn, lock, {"id": req.get("id"), "error": "shutting down"})
+                if batch:
+                    with self.stats.lock:
+                        self.stats.errors += len(batch)
+                return
             if not batch:
                 continue
-            term_sets, live, k = [], [], 1
-            for conn, lock, req, t0 in batch:
-                try:
-                    term_sets.append(self._terms_of(req))
-                    live.append((conn, lock, req, t0))
-                    k = max(k, int(req.get("k", self.top_k)))
-                except Exception as e:
-                    self._send(conn, lock, {"id": req.get("id"), "error": str(e)})
-                    with self.stats.lock:
-                        self.stats.errors += 1
-            if not live:
-                continue
             try:
-                results = self.engine.score_batch(term_sets, k)
-            except Exception as e:
-                logger.error(f"score_batch failed: {e}")
-                for conn, lock, req, t0 in live:
-                    self._send(conn, lock, {"id": req.get("id"), "error": f"engine: {e}"})
+                self._run_batch(batch)
+            except Exception as e:  # the batch thread must never die: one
+                # malformed request or engine bug would otherwise hang every
+                # future query while ping/stats still answer (silent DoS)
+                logger.error(f"batch dispatch failed: {e!r}")
+                for conn, lock, req, _ in batch:
+                    self._send(conn, lock, {"id": req.get("id"), "error": f"internal: {e}"})
                 with self.stats.lock:
-                    self.stats.errors += len(live)
-                continue
-            now = time.time()
-            # Record BEFORE sending: a client that has its answer must see
-            # itself in a stats snapshot (tests and monitoring rely on
-            # "response received => counted"; recording after the send loop
-            # races the client's follow-up stats call).
-            self.stats.record_batch(
-                len(live), [(now - t0) * 1e3 for (_, _, _, t0) in live]
+                    self.stats.errors += len(batch)
+
+    def _run_batch(self, batch: List[Tuple]) -> None:
+        term_sets, live, k = [], [], 1
+        for conn, lock, req, t0 in batch:
+            try:
+                terms = self._terms_of(req)
+                want_k = int(req.get("k", self.top_k))  # validate BEFORE admitting
+                term_sets.append(terms)
+                live.append((conn, lock, req, t0, want_k))
+                k = max(k, want_k)
+            except Exception as e:
+                self._send(conn, lock, {"id": req.get("id"), "error": str(e)})
+                with self.stats.lock:
+                    self.stats.errors += 1
+        if not live:
+            return
+        try:
+            results = self.engine.score_batch(term_sets, k)
+        except Exception as e:
+            logger.error(f"score_batch failed: {e}")
+            for conn, lock, req, t0, _ in live:
+                self._send(conn, lock, {"id": req.get("id"), "error": f"engine: {e}"})
+            with self.stats.lock:
+                self.stats.errors += len(live)
+            return
+        now = time.time()
+        # Record BEFORE sending: a client that has its answer must see
+        # itself in a stats snapshot (tests and monitoring rely on
+        # "response received => counted"; recording after the send loop
+        # races the client's follow-up stats call).
+        self.stats.record_batch(
+            len(live), [(now - t0) * 1e3 for (_, _, _, t0, _) in live]
+        )
+        for (conn, lock, req, t0, want_k), scores in zip(live, results):
+            self._send(
+                conn, lock,
+                {
+                    "id": req.get("id"),
+                    "results": [[int(d), float(s)] for d, s in scores[:want_k]],
+                },
             )
-            for (conn, lock, req, t0), scores in zip(live, results):
-                want_k = int(req.get("k", self.top_k))
-                self._send(
-                    conn, lock,
-                    {
-                        "id": req.get("id"),
-                        "results": [[int(d), float(s)] for d, s in scores[:want_k]],
-                    },
-                )

@@ -24,3 +24,15 @@ def merge_document_and_queries(document: str, queries: List[str], tokenizer) -> 
     unique_terms = " ".join(get_unique_query_terms(queries, document, tokenizer))
     unique_terms = unique_terms.replace("_", " ")
     return re.sub(r"\s{2,}", " ", f"{document} {unique_terms}").strip()
+
+
+def expand_pairwise_terms(terms: Set[str]) -> Set[str]:
+    """Add ``term1|term2`` composite postings terms for every ordered pair —
+    the pairwise-impact index convention (reference ranker.py:53-57).  The
+    single definition shared by the batch ranker and the serving daemon so
+    the convention cannot drift between them."""
+    for t1 in list(terms):
+        for t2 in list(terms):
+            if t1 != t2:
+                terms.add(f"{t1}|{t2}")
+    return terms

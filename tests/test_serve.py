@@ -262,3 +262,52 @@ def test_shutdown_refused_by_default():
         c.close()
     finally:
         srv.stop()
+
+
+def test_malformed_k_does_not_kill_batch_loop(server):
+    """A non-integer 'k' must produce an error reply and the daemon must
+    keep serving: before the fix, int(req['k']) raised OUTSIDE the guarded
+    per-request block and killed the batch thread (every later query hung
+    while ping/stats still answered — a one-request DoS)."""
+    srv, engine = server
+    c = _Client(srv.port)
+    r = c.call({"id": 1, "terms": ["apple"], "k": "abc"})
+    assert "error" in r and r["id"] == 1
+    # the batch loop must still dispatch:
+    r = c.call({"id": 2, "terms": ["apple"]})
+    assert r["id"] == 2 and "results" in r
+    c.close()
+
+
+def test_non_object_json_and_string_terms_rejected(server):
+    srv, _ = server
+    c = _Client(srv.port)
+    c.send_raw(b"[1, 2]\n")
+    assert "error" in c.recv()  # not an AttributeError that kills the conn
+    c.send_raw(b"5\n")
+    assert "error" in c.recv()
+    # a bare string would be iterated character-by-character: reject
+    r = c.call({"id": 3, "terms": "apple"})
+    assert "error" in r and r["id"] == 3
+    # connection still alive after all three
+    assert c.call({"op": "ping"}) == {"op": "pong"}
+    c.close()
+
+
+def test_stop_drains_queue_with_explicit_errors():
+    """Requests still queued at stop() get a 'shutting down' error reply,
+    not a silent drop (pipelined clients would read a bare FIN as a
+    transport failure and retry work the operator meant to drain)."""
+    engine = InvertedIndex(_index())
+    srv = RetrievalServer(engine, top_k=10)
+    sent = []
+
+    class _FakeConn:
+        def sendall(self, data):
+            sent.append(json.loads(data))
+
+    srv._stop.set()
+    srv._queue.append((_FakeConn(), threading.Lock(), {"id": 9, "terms": ["apple"]}, 0.0))
+    srv._batch_loop()  # sees stop, drains the queue with explicit errors
+    assert sent == [{"id": 9, "error": "shutting down"}]
+    assert not srv._queue and srv.stats.errors == 1

@@ -112,3 +112,73 @@ def test_client_reconnects_after_backend_restart():
     finally:
         client.close()
         srv0b.stop()
+
+
+def test_shard_error_mid_batch_closes_connection_and_recovers():
+    """An error response for ONE query of a pipelined batch must close the
+    connection before raising: the sibling responses are still buffered,
+    and a later call would read them as answers to ITS queries (same
+    0..N-1 ids) — silently wrong results from a healthy shard."""
+    import threading
+
+    good = [[0, 9.0]]
+
+    def fake_shard(server_sock, replies):
+        conn, _ = server_sock.accept()
+        f = conn.makefile("rb")
+        for batch in replies:
+            n = 0
+            while n < batch["expect"]:
+                line = f.readline()
+                if not line.strip():
+                    continue
+                n += 1
+            for resp in batch["send"]:
+                conn.sendall((json.dumps(resp) + "\n").encode())
+        conn.close()
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    # batch 1 (2 queries): id 0 errors, id 1 gets a results line that MUST
+    # NOT leak into batch 2; batch 2 (fresh connection, 1 query) answers.
+    replies = [
+        {"expect": 2, "send": [
+            {"id": 0, "error": "overloaded"},
+            {"id": 1, "results": [[3, 1.0]]},
+        ]},
+    ]
+    t = threading.Thread(target=fake_shard, args=(srv, replies), daemon=True)
+    t.start()
+    client = ShardClient("127.0.0.1", port, doc_offset=0)
+    with pytest.raises(RuntimeError, match="overloaded"):
+        client.score_batch([{"a"}, {"b"}], 5)
+    assert client._sock is None  # closed, not poisoned
+    t.join(timeout=5)
+    # second fake shard on the same port answers the reconnect correctly
+    t2 = threading.Thread(
+        target=fake_shard,
+        args=(srv, [{"expect": 1, "send": [{"id": 0, "results": good}]}]),
+        daemon=True,
+    )
+    t2.start()
+    out = client.score_batch([{"c"}], 5)
+    assert out == [[(0, 9.0)]]  # its OWN result, not batch 1's leftovers
+    t2.join(timeout=5)
+    srv.close()
+    client.close()
+
+
+def test_parse_shard_spec_validation():
+    from improving_learned_index_tpu.serve.router import _parse_shard_spec
+
+    cs = _parse_shard_spec("h1:8000,h2:8001:300")
+    assert [(c.host, c.port, c.doc_offset) for c in cs] == [
+        ("h1", 8000, 0), ("h2", 8001, 300)
+    ]
+    c6 = _parse_shard_spec("[::1]:8000:5")[0]
+    assert (c6.host, c6.port, c6.doc_offset) == ("::1", 8000, 5)
+    for bad in ("::1:8000", "h1", "h1:-1x", ":8000", "h1:8000:5:9"):
+        with pytest.raises(ValueError):
+            _parse_shard_spec(bad)
