@@ -127,7 +127,10 @@ def main(argv=None) -> int:
         from ..models.quantization import quantize_params_int4, quantize_params_int8
 
         quant = quantize_params_int4 if args.int4 else quantize_params_int8
-        params = quant(_jax.device_get(params))
+        # quantize on host (fp32 tree never touches HBM), then upload ONCE:
+        # numpy leaves fed to the jitted decode would re-transfer the whole
+        # quantized model host->device every batch
+        params = _jax.device_put(quant(_jax.device_get(params)))
 
     generator = QueryGenerator(
         params,
@@ -149,10 +152,6 @@ def main(argv=None) -> int:
     )
     print(f"expanded {n} documents -> {args.output_path}")
     return 0
-
-
-if __name__ == "__main__":
-    raise SystemExit(main())
 
 
 def _t5_main(args) -> int:
@@ -189,9 +188,12 @@ def _t5_main(args) -> int:
             T5ForConditionalGeneration.from_pretrained(args.t5).state_dict(), config
         )
     if args.int8 or args.int4:
+        import jax as _jax
+
         from ..models.quantization import quantize_params_int4, quantize_params_int8
 
-        params = (quantize_params_int4 if args.int4 else quantize_params_int8)(params)
+        quant = quantize_params_int4 if args.int4 else quantize_params_int8
+        params = _jax.device_put(quant(_jax.device_get(params)))  # upload once
     hf_tok = AutoTokenizer.from_pretrained(args.t5)
 
     class HFTok:
@@ -221,3 +223,6 @@ def _t5_main(args) -> int:
     )
     print(f"expanded {n} documents -> {args.output_path}")
     return 0
+
+if __name__ == "__main__":
+    raise SystemExit(main())

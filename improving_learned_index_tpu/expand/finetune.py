@@ -38,14 +38,18 @@ def build_example(
     prompt_template: str = PROMPT_EN,
     max_length: int = 2048,
     eos_token_id: int = 2,
+    bos_token_id: int = 1,
 ) -> Tuple[List[int], List[int]]:
     """(input_ids, labels) with prompt positions labeled IGNORE_INDEX."""
     prompt_ids = tokenizer.encode(prompt_template.format(doc=document))
     query_ids = tokenizer.encode(query)
-    # strip a leading BOS on the continuation if the tokenizer adds one
-    if query_ids and prompt_ids and query_ids[0] == prompt_ids[0] == prompt_ids[0]:
-        if query_ids[0] == 1:
-            query_ids = query_ids[1:]
+    # Strip the continuation's auto-added BOS (the prompt already carries
+    # it).  Gate on the configured BOS id — a shared first token alone
+    # could be a legitimate word both texts start with; Llama-3-style
+    # tokenizers use a BOS other than 1, so the id is a parameter.
+    if (query_ids and prompt_ids
+            and query_ids[0] == prompt_ids[0] == bos_token_id):
+        query_ids = query_ids[1:]
     ids = (prompt_ids + query_ids + [eos_token_id])[:max_length]
     labels = ([IGNORE_INDEX] * len(prompt_ids) + query_ids + [eos_token_id])[:max_length]
     return ids, labels
@@ -100,6 +104,7 @@ class Doc2QueryFineTuner:
         max_length: int = 2048,
         eos_token_id: int = 2,
         pad_token_id: int = 0,
+        bos_token_id: int = 1,
         seed: int = 0,
         quantize_base_int8: bool = False,
         quantize_base: Optional[str] = None,
@@ -116,6 +121,7 @@ class Doc2QueryFineTuner:
         self.max_length = max_length
         self.eos_token_id = eos_token_id
         self.pad_token_id = pad_token_id
+        self.bos_token_id = bos_token_id
         self.module = LlamaModel(config)
         self.lora = init_lora_params(params, lora_config, jax.random.PRNGKey(seed))
         if quantize_base_int8 and quantize_base is None:
@@ -126,7 +132,12 @@ class Doc2QueryFineTuner:
             quantizers = {"int8": qz.quantize_params_int8, "int4": qz.quantize_params_int4}
             if quantize_base not in quantizers:
                 raise ValueError(f"quantize_base must be int8/int4/None, got {quantize_base!r}")
-            self.base_params = quantizers[quantize_base](jax.device_get(params))
+            # quantize on host, then upload ONCE: numpy leaves passed into
+            # the jitted step would re-transfer the whole frozen base
+            # host->HBM every training step
+            self.base_params = jax.device_put(
+                quantizers[quantize_base](jax.device_get(params))
+            )
         self.quantize_base = quantize_base
         chain = [optax.adamw(lr, weight_decay=weight_decay)]
         if max_grad_norm is not None:
@@ -157,7 +168,8 @@ class Doc2QueryFineTuner:
     def make_batch(self, pairs: List[Tuple[str, str]]) -> Dict[str, np.ndarray]:
         examples = [
             build_example(
-                self.tokenizer, doc, query, self.prompt_template, self.max_length, self.eos_token_id
+                self.tokenizer, doc, query, self.prompt_template,
+                self.max_length, self.eos_token_id, self.bos_token_id
             )
             for doc, query in pairs
         ]
@@ -172,6 +184,7 @@ class Doc2QueryFineTuner:
     ) -> float:
         total_loss, step = 0.0, 0
         batch: List[Tuple[str, str]] = []
+        stop = False
         for pair in pairs:
             batch.append(pair)
             if len(batch) < batch_size:
@@ -186,7 +199,16 @@ class Doc2QueryFineTuner:
             if step % log_every == 0:
                 logger.info(f"finetune step {step} loss {float(loss):.4f}")
             if total_steps is not None and step >= total_steps:
+                stop = True
                 break
+        if batch and not stop:
+            # trailing flush: fewer pairs than batch_size must still train
+            # (dropping it makes a small fine-tune a silent no-op)
+            self.lora, self.opt_state, loss = self._train_step(
+                self.lora, self.opt_state, self.base_params, self.make_batch(batch)
+            )
+            total_loss += float(loss)
+            step += 1
         return total_loss / max(step, 1)
 
     def merged_params(self):

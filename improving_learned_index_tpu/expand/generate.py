@@ -57,14 +57,35 @@ class QueryGenerator:
         self.sampler = Sampler(config, gen, eos_token_id=eos_token_id)
         self.eos_token_id = eos_token_id
 
+    def _encode_prompt(self, document: str) -> List[int]:
+        """Tokenize one prompt, truncating the DOCUMENT (not the formatted
+        prompt's tail) when over budget: tail truncation would delete the
+        template's trailing separator, leaving the model mid-document with
+        no cue to start generating queries."""
+        ids = self.tokenizer.encode(self.prompt_template.format(doc=document))
+        doc_ids = None
+        while len(ids) > self.gen.max_tokens:
+            if doc_ids is None:
+                doc_ids = self.tokenizer.encode(document)
+            if not doc_ids:
+                # degenerate: the template alone is over budget — keep the
+                # tail, which holds the separator
+                return ids[-self.gen.max_tokens:]
+            overflow = len(ids) - self.gen.max_tokens
+            doc_ids = doc_ids[: max(len(doc_ids) - overflow, 0)]
+            document = self.tokenizer.decode([int(t) for t in doc_ids])
+            ids = self.tokenizer.encode(self.prompt_template.format(doc=document))
+        return ids
+
     def prompt_and_tokenize(self, documents: List[str]) -> Tuple[np.ndarray, np.ndarray]:
         """Left-padded prompt batch (reference padding_side='left',
-        generate.py:33)."""
-        encoded = [
-            self.tokenizer.encode(self.prompt_template.format(doc=d))[: self.gen.max_tokens]
-            for d in documents
-        ]
+        generate.py:33).  Rows pad to a 64-token bucket, not the exact batch
+        max: the jitted prefill+decode is shape-specialized, and per-batch
+        max lengths would recompile it for nearly every batch (at most
+        max_tokens/64 compiled shapes instead)."""
+        encoded = [self._encode_prompt(d) for d in documents]
         max_len = max(len(e) for e in encoded)
+        max_len = min(-(-max_len // 64) * 64, max(self.gen.max_tokens, max_len))
         ids = np.full((len(encoded), max_len), self.pad_token_id, dtype=np.int32)
         mask = np.zeros((len(encoded), max_len), dtype=np.int32)
         for i, e in enumerate(encoded):
@@ -140,8 +161,14 @@ def generate_expansions(
         batch_ids.clear()
 
     with open(collection_path, encoding="utf-8") as f:
-        for i, line in enumerate(f):
-            if i < skip:
+        seen = 0
+        for line in f:
+            if not line.strip():
+                continue  # a stray blank line must not abort hours of decode
+            # resume counts OUTPUT lines; only non-blank inputs produce one,
+            # so the skip must count non-blank lines too
+            if seen < skip:
+                seen += 1
                 continue
             if num_docs is not None and skip + written + len(batch_docs) >= num_docs:
                 break

@@ -34,9 +34,13 @@ def merge_collection_and_expansions(
         for line, query_line in zip(f, q):
             doc_id, doc = CollectionParser.parse(line, collection_type)
             expansion = json.loads(query_line)
-            assert doc_id == str(
-                expansion["doc_id"]
-            ), f"Doc id mismatch: {doc_id} != {expansion['doc_id']}"
+            if doc_id != str(expansion["doc_id"]):
+                # hard error, not assert: under python -O a drifted expansion
+                # file would silently append another document's queries to
+                # every row (reference merge.py:46 asserts the same contract)
+                raise ValueError(
+                    f"Doc id mismatch: {doc_id} != {expansion['doc_id']}"
+                )
             merged = merge_document_and_queries(doc, expansion["queries"], tokenizer)
             out.write(f"{doc_id}\t{merged}\n")
             n += 1

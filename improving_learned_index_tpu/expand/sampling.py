@@ -52,7 +52,6 @@ class Sampler:
         self.gen = gen
         self.eos = eos_token_id
         self.module = LlamaModel(config)
-        self._decode_compiled = {}
 
         module, eos = self.module, self.eos
         max_new = gen.max_new_tokens

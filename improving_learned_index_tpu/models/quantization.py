@@ -34,6 +34,15 @@ def _is_quantizable(path: Tuple, leaf) -> bool:
     return True
 
 
+def _quantize_leaf_int8(leaf: np.ndarray) -> dict:
+    """Per-output-channel symmetric int8 for one 2-D+ leaf — the single
+    definition used by quantize_params_int8 AND int4's odd-dim fallback."""
+    amax = np.max(np.abs(leaf), axis=0)  # per output channel
+    scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(leaf / scale), -127, 127).astype(np.int8)
+    return {"q": q, "s": scale}
+
+
 def quantize_params_int8(params: Any) -> Any:
     """fp param tree -> tree with quantized {"q", "s"} dict leaves."""
 
@@ -41,10 +50,7 @@ def quantize_params_int8(params: Any) -> Any:
         leaf = np.asarray(leaf)
         if not _is_quantizable(path, leaf):
             return leaf
-        amax = np.max(np.abs(leaf), axis=0)  # per output channel
-        scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
-        q = np.clip(np.round(leaf / scale), -127, 127).astype(np.int8)
-        return {"q": q, "s": scale}
+        return _quantize_leaf_int8(leaf)
 
     return jax.tree_util.tree_map_with_path(quant, params)
 
@@ -66,10 +72,7 @@ def quantize_params_int4(params: Any) -> Any:
         if leaf.shape[0] % 2:
             # odd contracted dim (never true for transformer geometries):
             # fall back to int8 for this leaf; dequantize handles mixed trees
-            amax = np.max(np.abs(leaf), axis=0)
-            scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
-            q = np.clip(np.round(leaf / scale), -127, 127).astype(np.int8)
-            return {"q": q, "s": scale}
+            return _quantize_leaf_int8(leaf)
         amax = np.max(np.abs(leaf), axis=0)
         scale = np.where(amax > 0, amax / 7.0, 1.0).astype(np.float32)
         # Biased nibbles (q+7 in [0, 14]) with SPLIT-HALF packing: low

@@ -351,3 +351,26 @@ def test_cli_expand_precomputed(workspace, tmp_path):
         "--style", "tilde",
     ]) == 0
     assert "junk" in out2.read_text()  # tilde appends terms, no score filter
+
+
+def test_cli_expand_module_entry_reaches_t5_path(tmp_path):
+    """`python -m ...cli.expand --t5 ...` must reach _t5_main: the module's
+    __main__ guard used to sit ABOVE the _t5_main definition, so script
+    execution raised NameError before any T5 work started."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    coll = tmp_path / "c.tsv"
+    coll.write_text("d0\tdoc\n")
+    proc = subprocess.run(
+        [sys.executable, "-m", "improving_learned_index_tpu.cli.expand",
+         "--collection_path", str(coll),
+         "--output_path", str(tmp_path / "o.jsonl"),
+         "--t5", str(tmp_path / "no_such_model")],
+        capture_output=True, text=True, timeout=300,
+        cwd=str(Path(__file__).resolve().parent.parent),
+    )
+    # it must fail on the nonexistent model, not on module layout
+    assert proc.returncode != 0
+    assert "NameError" not in proc.stderr

@@ -81,12 +81,59 @@ def test_merge_unique_terms(tiny_tokenizer, tmp_path):
     assert "sleepy" in lines["d1"].split() and "sleepy_dog" not in lines["d1"]
 
 
-def test_merge_doc_id_mismatch_asserts(tiny_tokenizer, tmp_path):
+def test_merge_doc_id_mismatch_raises(tiny_tokenizer, tmp_path):
     collection = tmp_path / "c.tsv"
     collection.write_text("d0\tsome doc\n")
     expansions = tmp_path / "e.jsonl"
     expansions.write_text(json.dumps({"doc_id": "WRONG", "queries": ["x"]}) + "\n")
-    with pytest.raises(AssertionError, match="Doc id mismatch"):
+    # ValueError, not assert: the alignment contract must survive python -O
+    with pytest.raises(ValueError, match="Doc id mismatch"):
         merge_collection_and_expansions(
             collection, expansions, tmp_path / "m.tsv", tiny_tokenizer
         )
+
+
+def test_encode_prompt_truncates_document_not_separator(generator):
+    """Over-budget prompts must lose DOCUMENT tokens, never the trailing
+    '\\n---\\n' separator — tail truncation leaves the model mid-document
+    with no cue to start generating queries."""
+    import dataclasses
+
+    gen = dataclasses.replace(generator.gen, max_tokens=64)
+    g = QueryGenerator(
+        generator.params, generator.config, ByteTokenizer(), gen,
+        prompt_template=generator.prompt_template,
+    )
+    long_doc = "word " * 300
+    ids = g._encode_prompt(long_doc)
+    assert len(ids) <= 64
+    sep_tail = ByteTokenizer().encode(
+        generator.prompt_template.format(doc="")
+    )
+    # the template's suffix after {doc} is '\n---\n'; its byte ids must
+    # close the truncated prompt
+    suffix = [b + 3 for b in "\n---\n".encode("utf-8")]
+    assert ids[-len(suffix):] == suffix
+    del sep_tail
+
+
+def test_prompt_padding_is_bucketed(generator):
+    """Prompt rows pad to 64-token buckets (bounded compile count), capped
+    at max_tokens."""
+    ids, mask = generator.prompt_and_tokenize(["short doc", "another short doc"])
+    assert ids.shape[1] % 64 == 0 or ids.shape[1] == generator.gen.max_tokens
+    # left padding preserved
+    assert mask[0, -1] == 1 and mask[0, 0] == 0
+
+
+def test_generate_expansions_skips_blank_lines(generator, tmp_path):
+    collection = tmp_path / "c_blank.tsv"
+    collection.write_text("d0\talpha doc\n\nd1\tbeta doc\n\n\nd2\tgamma doc\n")
+    out = tmp_path / "e_blank.jsonl"
+    n = generate_expansions(generator, collection, out, batch_size=2, seed=0)
+    assert n == 3
+    records = [json.loads(l) for l in out.read_text().splitlines()]
+    assert [r["doc_id"] for r in records] == ["d0", "d1", "d2"]
+    # resume counts non-blank lines: a rerun adds nothing and redoes nothing
+    assert generate_expansions(generator, collection, out, batch_size=2, seed=0) == 0
+    assert count_lines(out) == 3

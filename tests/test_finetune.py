@@ -156,3 +156,50 @@ def test_finetune_int4_base_trl_variant():
     merged = ft.merged_params()
     k = merged["layer_0"]["mlp"]["gate_proj"]["kernel"]
     assert k.ndim == 2 and np.isfinite(np.asarray(k)).all()
+
+
+def test_build_example_bos_strip_uses_configured_id():
+    """The continuation's auto-added BOS is stripped only when it matches
+    the CONFIGURED bos id (the old check compared query_ids[0] to itself
+    and hardcoded 1, so non-Llama-2 tokenizers kept a stray BOS in labels)."""
+
+    class BosTok:
+        def __init__(self, bos):
+            self.bos = bos
+
+        def encode(self, text):
+            return [self.bos] + [b + 130 for b in text.encode("utf-8")[:50]]
+
+        def decode(self, ids):
+            return bytes((i - 130) % 256 for i in ids if i >= 130).decode(
+                "utf-8", "ignore")
+
+    # BOS id 7 (a Llama-3-style non-1 id): stripped when configured
+    ids7, labels7 = build_example(
+        BosTok(7), "d", "q", max_length=64, eos_token_id=2, bos_token_id=7
+    )
+    assert ids7.count(7) == 1  # only the prompt's BOS survives
+    # mis-configured bos id: nothing stripped (no silent guess by value)
+    ids_bad, _ = build_example(
+        BosTok(7), "d", "q", max_length=64, eos_token_id=2, bos_token_id=1
+    )
+    assert ids_bad.count(7) == 2
+
+
+def test_train_flushes_trailing_partial_batch():
+    """Fewer pairs than batch_size must still train (the loop used to drop
+    the trailing partial batch, making a small fine-tune a silent no-op)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(LlamaConfig.tiny(vocab_size=260), dtype="float32")
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    ft = Doc2QueryFineTuner(params, cfg, ByteTok(), lr=5e-3, max_length=64, seed=1)
+    before = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), ft.lora)
+    avg = ft.train([("tiny doc", "tiny query")] * 3, batch_size=4)
+    assert avg > 0.0  # one step ran
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(before),
+                        jax.tree_util.tree_leaves(ft.lora))
+    )
+    assert changed
