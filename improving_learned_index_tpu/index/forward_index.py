@@ -90,6 +90,9 @@ def quantize_file(
             for line in f:
                 for term, score in parse_line(line).items():
                     max_val = max(max_val, score)
+        # empty or all-zero forward index: any positive scale works — every
+        # impact quantizes to 0 and drops (quantize_store guards identically)
+        max_val = max_val or 1.0
     scale = ((1 << bits) - 1) / max_val
     with open(input_file_path, encoding="utf-8") as f, open(
         output_file_path, "w", encoding="utf-8"

@@ -231,6 +231,15 @@ class ImpactStoreWriter:
             if self.values_format == "f64":  # resuming a legacy store
                 vals = rounded
             else:
+                # milli-int32 range check: NaN/inf (a diverged checkpoint) or
+                # |v| > ~2.1e6 would cast to arbitrary wrapped int32 values
+                # (numpy UB) and break the store's bit-exactness contract
+                # silently.  NaN fails the comparison, so this catches both.
+                if not np.all(np.abs(rounded) < 2_147_483.0):
+                    raise ValueError(
+                        "impact outside int32-milli range (NaN/inf or "
+                        f"|v| >= 2147483): {rounded[np.argmax(np.abs(rounded))]!r}"
+                    )
                 # rounded is d/1000 for integer d: recover d exactly
                 vals = np.rint(rounded * 1000.0).astype(np.int32)
         self._append(ids, vals)
@@ -347,10 +356,16 @@ class ImpactStore:
             "values_format", "u8" if self.quantized else "f64"
         )
         self.counts = np.fromfile(self.path / _COUNTS, np.int32)
-        self.term_ids = np.memmap(self.path / _TERM_IDS, np.int32, mode="r")
-        self.values = np.memmap(
-            self.path / _VALUES, _VALUE_FORMATS[self.values_format], mode="r"
-        )
+
+        def _mm(name, dtype):
+            # np.memmap refuses zero-length files; an empty store (empty
+            # collection, or every doc zeroed every term) is legitimate
+            if (self.path / name).stat().st_size == 0:
+                return np.empty(0, dtype)
+            return np.memmap(self.path / name, dtype, mode="r")
+
+        self.term_ids = _mm(_TERM_IDS, np.int32)
+        self.values = _mm(_VALUES, _VALUE_FORMATS[self.values_format])
         self.offsets = np.zeros(len(self.counts) + 1, np.int64)
         np.cumsum(self.counts, out=self.offsets[1:])
         assert self.offsets[-1] == len(self.term_ids) == len(self.values), (
@@ -429,7 +444,13 @@ def quantize_store(
             d1 = min(d0 + doc_block, n_docs)
             s, e = int(store.offsets[d0]), int(store.offsets[d1])
             counts = store.counts[d0:d1].astype(np.int64)
-            q = np.trunc(store.value_block(s, e) * scale)
+            # clamp, don't cast-wrap: with a caller-supplied max_val below
+            # the true max, q > 255 would wrap modulo 256 (300 -> 44) and
+            # the LARGEST impacts would become the smallest.  The clamp
+            # matches InvertedIndexData.build (inverted.py) and the text
+            # path's downstream uint8 handling.
+            q = np.minimum(np.trunc(store.value_block(s, e) * scale),
+                           (1 << bits) - 1)
             keep = q > 0
             doc_of = np.repeat(np.arange(d1 - d0, dtype=np.int64), counts)
             np.bincount(doc_of[keep], minlength=d1 - d0).astype(np.int32).tofile(fc)
@@ -463,24 +484,28 @@ def store_to_forward_text(store: Union[ImpactStore, PathLike], out_path: PathLik
         store = ImpactStore(store)
     vocab = store.vocab
     offsets = store.offsets
-    ids_list = np.asarray(store.term_ids).tolist()
     pair = "{}: {}".format
-    if store.quantized:
-        vals_list = np.asarray(store.values).tolist()
-    else:
-        vals_list = [
-            repr(v) for v in store.value_block(0, store.num_postings).tolist()
-        ]
+    # chunked like every other store stage: materializing all postings as
+    # Python ints/strs costs GBs at the 40M+ posting scale the store targets
+    doc_block = 65536
     with open(out_path, "w", encoding="utf-8") as f:
-        for d in range(store.num_docs):
-            s, e = int(offsets[d]), int(offsets[d + 1])
-            f.write(
-                ", ".join(
-                    pair(vocab[t], v)
-                    for t, v in zip(ids_list[s:e], vals_list[s:e])
+        for d0 in range(0, store.num_docs, doc_block):
+            d1 = min(d0 + doc_block, store.num_docs)
+            s0, e0 = int(offsets[d0]), int(offsets[d1])
+            ids_list = np.asarray(store.term_ids[s0:e0]).tolist()
+            if store.quantized:
+                vals_list = np.asarray(store.values[s0:e0]).tolist()
+            else:
+                vals_list = [repr(v) for v in store.value_block(s0, e0).tolist()]
+            for d in range(d0, d1):
+                s, e = int(offsets[d]) - s0, int(offsets[d + 1]) - s0
+                f.write(
+                    ", ".join(
+                        pair(vocab[t], v)
+                        for t, v in zip(ids_list[s:e], vals_list[s:e])
+                    )
                 )
-            )
-            f.write("\n")
+                f.write("\n")
 
 
 def store_from_forward_text(

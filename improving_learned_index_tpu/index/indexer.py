@@ -28,16 +28,36 @@ logger = get_logger("indexer")
 PathLike = Union[str, Path]
 
 
+class _ProducerError:
+    """Queue marker carrying a producer-thread exception to the consumer.
+    Without it, a tokenize/stream error would kill the daemon thread before
+    the None sentinel is enqueued and the consumer's queue.get() would hang
+    a multi-hour encode forever instead of surfacing the error."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
+def _queue_get(queue: Queue):
+    item = queue.get()
+    if isinstance(item, _ProducerError):
+        raise item.exc
+    return item
+
+
 def _tokenize_producer(model, docs: Iterator[str], batch_size: int, queue: Queue):
-    batch: List[DocumentEncoding] = []
-    for doc in docs:
-        batch.append(model.process_document(doc))
-        if len(batch) == batch_size:
+    try:
+        batch: List[DocumentEncoding] = []
+        for doc in docs:
+            batch.append(model.process_document(doc))
+            if len(batch) == batch_size:
+                queue.put(batch)
+                batch = []
+        if batch:
             queue.put(batch)
-            batch = []
-    if batch:
-        queue.put(batch)
-    queue.put(None)
+        queue.put(None)
+    except BaseException as e:  # noqa: BLE001 — must reach the consumer
+        queue.put(_ProducerError(e))
 
 
 def _repair_text_forward(path: PathLike) -> int:
@@ -167,7 +187,7 @@ class Indexer:
                 yield doc_terms, scores[i]
 
         while True:
-            batch = queue.get()
+            batch = _queue_get(queue)
             if batch is None:
                 break
             pending.append(
@@ -205,13 +225,16 @@ class Indexer:
         queue: Queue = Queue(maxsize=4)
 
         def produce():
-            for doc in documents:
-                enc = self.model.process_document(doc)
-                for batch in packer.add(enc):
+            try:
+                for doc in documents:
+                    enc = self.model.process_document(doc)
+                    for batch in packer.add(enc):
+                        queue.put(batch)
+                for batch in packer.flush():
                     queue.put(batch)
-            for batch in packer.flush():
-                queue.put(batch)
-            queue.put(None)
+                queue.put(None)
+            except BaseException as e:  # noqa: BLE001 — must reach the consumer
+                queue.put(_ProducerError(e))
 
         producer = threading.Thread(target=produce, daemon=True)
         producer.start()
@@ -225,7 +248,7 @@ class Indexer:
                 yield doc_terms, scores[offsets[i] : offsets[i + 1]]
 
         while True:
-            batch = queue.get()
+            batch = _queue_get(queue)
             if batch is None:
                 break
             pending.append(
@@ -272,6 +295,14 @@ class Indexer:
         done = 0
         store = None
         if store_path is not None:
+            if self.config.round_decimals != 3:
+                # the binary store encodes impacts as round(v, 3) integer
+                # millis; silently storing a different rounding than the
+                # text output would desynchronize the two artifacts
+                raise ValueError(
+                    "store_path requires round_decimals=3 (the store's "
+                    f"integer-milli encoding); got {self.config.round_decimals}"
+                )
             store = ImpactStoreWriter(store_path, resume=resume)
             done = store.resume_docs
         if output_file_path is not None:

@@ -426,9 +426,7 @@ class InvertedIndexData:
         with open(out / INVERTED_INDEX_DATA, "wb") as f:
             t0 = 0
             nvocab = len(self.vocab)
-            while t0 < nvocab or (nvocab == 0 and t0 == 0):
-                if nvocab == 0:
-                    break
+            while t0 < nvocab:
                 t1 = t0
                 while t1 < nvocab and full_offsets[t1 + 1] - full_offsets[t0] <= _SLAB:
                     t1 += 1

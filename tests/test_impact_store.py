@@ -224,3 +224,47 @@ def test_cli_pipeline_with_store(tmp_path):
     assert invert_cli.main(["-i", str(qstore), "-o", str(inv_store)]) == 0
     for name in ("inverted_index.dat", "inverted_index.idx", "vocab.txt"):
         assert (inv_store / name).read_bytes() == (inv_text / name).read_bytes(), name
+
+
+class TestRobustness:
+    def test_empty_store_roundtrip(self, tmp_path):
+        """A zero-posting store (empty collection, or all impacts zeroed)
+        must open, quantize, and export — np.memmap refuses empty files,
+        so the loader substitutes empty arrays."""
+        with ImpactStoreWriter(tmp_path / "empty"):
+            pass
+        store = ImpactStore(tmp_path / "empty")
+        assert store.num_docs == 0 and store.num_postings == 0
+        quantize_store(tmp_path / "empty", tmp_path / "empty_q")
+        q = ImpactStore(tmp_path / "empty_q")
+        assert q.quantized and q.num_postings == 0
+        store_to_forward_text(q, tmp_path / "empty.txt")
+        assert (tmp_path / "empty.txt").read_text() == ""
+
+    def test_empty_docs_only_store_opens(self, tmp_path):
+        with ImpactStoreWriter(tmp_path / "zdocs") as w:
+            w.add_doc([])
+            w.add_doc([])
+        store = ImpactStore(tmp_path / "zdocs")
+        assert store.num_docs == 2 and store.num_postings == 0
+
+    def test_quantize_store_clamps_instead_of_wrapping(self, tmp_path):
+        """max_val below the true max (stale/per-shard) must clamp to 255:
+        a float->uint8 cast would wrap 300 -> 44, inverting the ranking of
+        the LARGEST impacts."""
+        with ImpactStoreWriter(tmp_path / "s") as w:
+            w.add_doc([("a", 3.0), ("b", 1.0)])
+        quantize_store(tmp_path / "s", tmp_path / "sq", max_val=1.0)
+        q = ImpactStore(tmp_path / "sq")
+        vals = np.asarray(q.values)
+        assert vals.max() == 255  # clamped, not wrapped
+        assert vals.min() > 0
+
+    def test_add_doc_row_rejects_nan_inf(self, tmp_path):
+        with ImpactStoreWriter(tmp_path / "nan") as w:
+            with pytest.raises(ValueError, match="int32-milli"):
+                w.add_doc_row(["a", "b"], np.array([1.0, float("nan")]))
+            with pytest.raises(ValueError, match="int32-milli"):
+                w.add_doc_row(["a"], np.array([float("inf")]))
+            with pytest.raises(ValueError, match="int32-milli"):
+                w.add_doc_row(["a"], np.array([3.0e9]))

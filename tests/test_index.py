@@ -284,3 +284,21 @@ def test_inverted_zero_impact_byte_parity(tmp_path):
     assert (out2 / "inverted_index.idx").read_bytes() == locs
     res2 = dict(InvertedIndex(idx2).score_batch([{"apple", "pear"}], top_k=10)[0])
     assert res2 == {0: 7, 2: 2, 1: 3}
+
+
+def test_quantize_file_empty_and_all_zero_inputs(tmp_path):
+    """quantize_file must not divide by a 0.0 global max (empty forward
+    index, or one whose scores are all zero) — quantize_store guards the
+    identical edge with `or 1.0`."""
+    empty = tmp_path / "empty.index"
+    empty.write_text("")
+    out = tmp_path / "empty_q.index"
+    quantize_file(empty, out)
+    assert out.read_text() == ""
+
+    zeros = tmp_path / "zeros.index"
+    zeros.write_text("apple: 0.0, banana: 0.0\n")
+    out2 = tmp_path / "zeros_q.index"
+    quantize_file(zeros, out2)
+    # every impact quantizes to 0 and drops, like the reference
+    assert out2.read_text().strip() == ""

@@ -145,3 +145,39 @@ def test_resume_on_complete_output_is_noop(tmp_path):
     assert n == len(corpus)
     assert text.read_bytes() == before
     assert ImpactStore(store).num_docs == len(corpus)
+
+
+def test_producer_error_surfaces_instead_of_hanging():
+    """An exception while streaming/tokenizing documents must reach the
+    consumer: the producer thread used to die without enqueueing its
+    sentinel, deadlocking a multi-hour encode on queue.get() forever."""
+    corpus, indexer = _tiny_indexer()
+
+    def poisoned():
+        yield corpus[0]
+        yield corpus[1]
+        raise RuntimeError("stream broke mid-collection")
+
+    with pytest.raises(RuntimeError, match="stream broke"):
+        list(indexer.encode_documents(poisoned()))
+
+    # packed pipeline has its own producer: same contract
+    import dataclasses
+
+    packed = Indexer(
+        indexer.model,
+        dataclasses.replace(indexer.config, pack_sequences=True),
+    )
+    with pytest.raises(RuntimeError, match="stream broke"):
+        list(packed.encode_documents(poisoned()))
+
+
+def test_store_path_requires_round3(tmp_path):
+    import dataclasses
+
+    corpus, indexer = _tiny_indexer()
+    coll = tmp_path / "c.tsv"
+    coll.write_text("".join(f"{i}\t{d}\n" for i, d in enumerate(corpus)))
+    bad = Indexer(indexer.model, dataclasses.replace(indexer.config, round_decimals=2))
+    with pytest.raises(ValueError, match="round_decimals=3"):
+        bad.index_to_file(coll, store_path=tmp_path / "s")
