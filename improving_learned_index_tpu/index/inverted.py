@@ -394,7 +394,12 @@ class InvertedIndexData:
         cross-host serving router, serve/router.py: shard i's doc-id offset
         is the cumulative doc count of shards 0..i-1).  Inverse of
         ``merge``: merging the shards back is byte-identical to this
-        index."""
+        index.
+
+        Cost: one full ``filter_docs`` pass per shard — O(n_shards x
+        postings).  Acceptable for the offline reshard this serves (~30s
+        per 44M-posting pass); a one-pass searchsorted bucketing would be
+        the upgrade if resharding ever becomes hot."""
         assert n_shards >= 1
         bounds = np.linspace(0, self.num_docs, n_shards + 1).astype(np.int64)
         shards = []
