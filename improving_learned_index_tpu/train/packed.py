@@ -90,8 +90,12 @@ def pack_collated(
     lengths = att.sum(axis=1).astype(np.int64)
     if (lengths == 0).any():
         raise ValueError("zero-length document in training batch")
-    # right-padding check (packing slices ids[:len])
-    if (att[np.arange(n), np.minimum(lengths - 1, seq - 1)] != 1).any():
+    # right-padding check (packing slices ids[:len]): a contiguous mask must
+    # start at column 0 and end exactly at lengths-1 — a left- or mid-padded
+    # row like [0,1,1,0] has the right popcount but would pack pad tokens.
+    if (att[:, 0] != 1).any() or (
+        att[np.arange(n), np.minimum(lengths - 1, seq - 1)] != 1
+    ).any() or (att * (np.arange(seq)[None, :] >= lengths[:, None])).any():
         raise ValueError("sequence packing requires right-padded encodings")
 
     # greedy in-order fill: row/col cursor per document

@@ -31,8 +31,9 @@ def expand_pairwise_terms(terms: Set[str]) -> Set[str]:
     the pairwise-impact index convention (reference ranker.py:53-57).  The
     single definition shared by the batch ranker and the serving daemon so
     the convention cannot drift between them."""
-    for t1 in list(terms):
-        for t2 in list(terms):
+    snapshot = list(terms)
+    for t1 in snapshot:
+        for t2 in snapshot:
             if t1 != t2:
                 terms.add(f"{t1}|{t2}")
     return terms

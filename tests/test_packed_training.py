@@ -83,6 +83,27 @@ class TestPackCollated:
         # segments are block-contiguous per row and denser than one doc/row
         assert packed["input_ids"].shape[0] < n
 
+
+    def test_rejects_left_or_mid_padded_rows(self, tiny_tokenizer):
+        """Regression (advisor r3): a left-padded row like [0,1,1,0] has the
+        right popcount and a 1 at lengths-1, so the old check passed and
+        ids[:2] silently packed the pad token and dropped the last real
+        token.  The mask must be contiguous from column 0."""
+        arrays = _collated(tiny_tokenizer, "pairwise_ce")
+        for bad in ("left", "hole"):
+            a = {k: np.array(v, copy=True) for k, v in arrays.items()}
+            att = a["attention_mask"]
+            ln = int(att[0].sum())
+            assert ln >= 3
+            if bad == "left":
+                att[0, :] = 0
+                att[0, 1:ln] = 1  # shifted right by one: att[0,0]==0
+            else:
+                att[0, 1] = 0
+                att[0, ln] = 1  # hole at 1, stray 1 past the end
+            with pytest.raises(ValueError, match="right-padded"):
+                pack_collated(a)
+
     def test_rejects_pair_mask_shapes(self, tiny_tokenizer):
         arrays = _collated(tiny_tokenizer, "in_batch_negatives")
         with pytest.raises(ValueError, match="per \\(query, document\\)"):

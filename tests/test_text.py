@@ -143,3 +143,18 @@ def test_normalize_pretokenize_ascii_fast_path_equivalence():
         assert pretokenize(n_fast) == slow_pretokenize(n_slow)
     # non-ASCII takes the general path (accent stripping intact)
     assert pretokenize(normalize("Café—überall!")) == ["cafe", "—", "uberall", "!"]
+
+
+def test_expand_pairwise_terms_exact_ordered_pairs():
+    """Regression (advisor r3): the composite loop must snapshot the input
+    once — re-reading the mutating set compounded composites into
+    composite-of-composite terms (c|b|a|b) with exponential blowup, matching
+    neither the reference's itertools.product semantics (ranker.py:53-57)
+    nor the index's posting vocabulary."""
+    from improving_learned_index_tpu.utils.text_utils import expand_pairwise_terms
+
+    for n in (0, 1, 2, 3, 10):
+        base = {f"t{i}" for i in range(n)}
+        out = expand_pairwise_terms(set(base))
+        assert len(out) == n * (n - 1) + n
+        assert out == base | {f"{a}|{b}" for a in base for b in base if a != b}
