@@ -18,6 +18,10 @@ def main(argv=None) -> int:
     parser.add_argument("--output_path", type=Path, required=True)
     parser.add_argument("--llama_path", type=str, default=None,
                         help="HF Llama checkpoint dir/id (weights + tokenizer)")
+    parser.add_argument("--local_path", type=str, default=None,
+                        help="local generator dir written by "
+                        "expand.generate.save_local_generator (a model "
+                        "fine-tuned here with no HF identity)")
     parser.add_argument("--peft_path", type=str, default=None,
                         help="LoRA adapter checkpoint (msgpack from expand.lora)")
     parser.add_argument("--prompt", choices=["en", "vi"], default="en")
@@ -29,6 +33,9 @@ def main(argv=None) -> int:
     parser.add_argument("--top_p", type=float, default=0.95)
     parser.add_argument("--max_tokens", type=int, default=350)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--greedy", action="store_true",
+                        help="deterministic argmax decode instead of "
+                        "top-k/top-p sampling")
     parser.add_argument("--int8", action="store_true",
                         help="weight-only int8 quantized decode — halves HBM "
                         "residency/bandwidth so 7B fits a 16GB chip (the TPU "
@@ -56,9 +63,18 @@ def main(argv=None) -> int:
         top_k=args.top_k,
         top_p=args.top_p,
         max_tokens=args.max_tokens,
+        do_sample=not args.greedy,
     )
 
-    if args.tiny:
+    if args.local_path:
+        import dataclasses
+
+        from ..expand.generate import load_local_generator
+
+        params, config, tokenizer = load_local_generator(args.local_path)
+        config = dataclasses.replace(config, kv_quant=args.kv_quant)
+        pad_id, eos_id = 0, 2
+    elif args.tiny:
         import jax
 
         class ByteTokenizer:
@@ -168,6 +184,7 @@ def _t5_main(args) -> int:
         top_k=args.top_k,
         top_p=args.top_p,
         max_tokens=args.max_tokens,
+        do_sample=not args.greedy,
     )
     hc = AutoConfig.from_pretrained(args.t5)
     config = T5Config(

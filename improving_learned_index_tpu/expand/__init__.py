@@ -3,8 +3,11 @@ from .generate import (
     PROMPT_SEP,
     PROMPT_VI,
     QueryGenerator,
+    WordTokenizer,
     count_lines,
     generate_expansions,
+    load_local_generator,
+    save_local_generator,
 )
 from .lora import LoraConfig, init_lora_params, lora_forward_params, merge_lora
 from .merge import merge_collection_and_expansions
@@ -15,8 +18,11 @@ __all__ = [
     "PROMPT_SEP",
     "PROMPT_VI",
     "QueryGenerator",
+    "WordTokenizer",
     "count_lines",
     "generate_expansions",
+    "load_local_generator",
+    "save_local_generator",
     "LoraConfig",
     "init_lora_params",
     "lora_forward_params",

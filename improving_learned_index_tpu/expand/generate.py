@@ -121,6 +121,82 @@ class QueryGenerator:
         return queries
 
 
+class WordTokenizer:
+    """Whitespace word-level tokenizer for locally fine-tuned generators.
+
+    The reference expansion CLI only loads HF checkpoints
+    (src/llama2/generate.py:29-45); a model fine-tuned here with
+    ``Doc2QueryFineTuner`` has no HF identity, so this minimal
+    encode/decode pair plus ``save_local_generator`` gives it a loadable
+    on-disk form (``cli.expand --local_path``).  Ids 0..3 are
+    pad/bos/eos/unk, then one id per vocabulary word.
+    """
+
+    PAD, BOS, EOS, UNK = 0, 1, 2, 3
+
+    def __init__(self, words: List[str]):
+        self.words = list(words)
+        self._w2i = {w: i + 4 for i, w in enumerate(self.words)}
+        if len(self._w2i) != len(self.words):
+            raise ValueError("duplicate words in generator vocabulary")
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.words) + 4
+
+    def encode(self, text: str) -> List[int]:
+        return [self.BOS] + [self._w2i.get(w, self.UNK) for w in text.split()]
+
+    def decode(self, ids) -> str:
+        return " ".join(self.words[int(i) - 4] for i in ids if int(i) >= 4)
+
+    @classmethod
+    def build(cls, texts: Iterable[str]) -> "WordTokenizer":
+        words = sorted({w for t in texts for w in t.split()})
+        return cls(words)
+
+    def save(self, path: Union[str, Path]) -> None:
+        Path(path).write_text(
+            "".join(f"{w}\n" for w in self.words), encoding="utf-8"
+        )
+
+    @classmethod
+    def load(cls, path: Union[str, Path]) -> "WordTokenizer":
+        text = Path(path).read_text(encoding="utf-8")
+        return cls([w for w in text.splitlines() if w])
+
+
+def save_local_generator(
+    path: Union[str, Path], params, config: LlamaConfig, tokenizer: WordTokenizer
+) -> None:
+    """Persist a fine-tuned generator (merged params + config + word vocab)
+    in the layout ``cli.expand --local_path`` loads."""
+    import dataclasses
+
+    from ..core.checkpoint import save_params
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    (path / "config.json").write_text(json.dumps(dataclasses.asdict(config)))
+    save_params(path / "params.msgpack", params)
+    tokenizer.save(path / "word_vocab.txt")
+
+
+def load_local_generator(path: Union[str, Path]):
+    """Inverse of :func:`save_local_generator` -> (params, config, tokenizer)."""
+    import jax
+
+    from ..core.checkpoint import load_params
+    from ..models.llama import init_llama_params
+
+    path = Path(path)
+    config = LlamaConfig(**json.loads((path / "config.json").read_text()))
+    like = init_llama_params(config, jax.random.PRNGKey(0))
+    params = load_params(path / "params.msgpack", like=like)
+    tokenizer = WordTokenizer.load(path / "word_vocab.txt")
+    return params, config, tokenizer
+
+
 def count_lines(path: Union[str, Path]) -> int:
     if not Path(path).exists():
         return 0
