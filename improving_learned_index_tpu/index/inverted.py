@@ -33,6 +33,61 @@ PathLike = Union[str, Path]
 _RECORD_DTYPE = np.dtype([("doc_id", "<u4"), ("impact", "u1")])
 _LOC_DTYPE = np.dtype("<u8")
 
+_SCATTER_CHUNK = 1 << 25  # 32M postings per counting-scatter block
+
+
+def _stable_scatter_pass(nbuckets, counts, chunk_pairs, outs) -> None:
+    """One stable counting-scatter pass: distribute postings into
+    ``nbuckets`` key buckets, preserving input order within a bucket.
+
+    ``counts`` is the precomputed global key histogram (int64[nbuckets]);
+    ``chunk_pairs`` yields ``(keys, (payload arrays...))`` chunks in input
+    order; ``outs`` are preallocated outputs of the payload tuple's arity.
+
+    Equivalent to ``out[:] = data[np.argsort(key, kind="stable")]`` but with
+    temporaries bounded by the chunk size: a full-index stable argsort keeps
+    up to three int64 permutation arrays live at once (24 B/posting — the
+    16 GB host-RSS spike at 385M postings); here the per-chunk argsort plus
+    rank arrays cost <0.6 GB regardless of total postings.
+    """
+    from ..utils.sorting import radix_argsort
+
+    fill = np.zeros(nbuckets, dtype=np.int64)  # next free slot per bucket
+    np.cumsum(counts[:-1], out=fill[1:])
+    for k, data in chunk_pairs:
+        k = np.asarray(k)
+        m = len(k)
+        if m == 0:
+            continue
+        idx = (np.argsort(k, kind="stable") if k.dtype.itemsize <= 2
+               else radix_argsort(k))
+        ks = k[idx]
+        # within-bucket rank inside this chunk: index minus run start
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        runs = np.diff(np.r_[starts, m])
+        pos = fill[ks] + (np.arange(m, dtype=np.int64) - np.repeat(starts, runs))
+        for out, arr in zip(outs, data):
+            out[pos] = np.asarray(arr)[idx]
+        # run-based fill update: no nbuckets-sized allocation per chunk
+        fill[ks[starts]] += runs
+
+
+def _slice_pairs(n, key_arr, data_arrs, chunk=_SCATTER_CHUNK):
+    """(keys, payload-tuple) slice chunks over materialized arrays."""
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        yield key_arr[s:e], tuple(a[s:e] for a in data_arrs)
+
+
+def _consume_chunks(chunks):
+    """Yield posting chunks, releasing list entries as they are consumed
+    (a popped chunk's arrays free once copied); iterators pass through."""
+    if isinstance(chunks, list):
+        while chunks:
+            yield chunks.pop(0)
+    else:
+        yield from chunks
+
 
 class InvertedIndexData:
     """CSR postings over a term vocabulary."""
@@ -100,10 +155,9 @@ class InvertedIndexData:
         Corpus-scale memory: postings accumulate into fixed-size TYPED
         chunks (int32 tid / uint32 doc / uint8 impact = 9 B/posting; Python
         int lists cost ~28 B per element, ~9x), and the (term asc, impact
-        desc) order comes from ONE stable integer argsort on the combined
-        key ``tid * 256 + (255 - impact)`` — numpy's stable argsort on
-        integer keys is a radix sort, so there is no full tuple lexsort and
-        the transient peak is ~29 B/posting (arrays + key + order).
+        desc) order comes from two chunked stable counting-scatter passes
+        (see ``_stable_scatter_pass``) whose temporaries are bounded by the
+        chunk size — no full-index argsort permutation is ever built.
         """
         _CHUNK = 1 << 22  # 4M postings per accumulation chunk (36 MB)
         vocab_map: Dict[str, int] = {}
@@ -140,13 +194,20 @@ class InvertedIndexData:
     def _finalize(
         cls,
         terms: List[str],
-        chunks: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+        chunks,
         num_docs: int,
         max_doc: int,
         compact: bool = False,
+        total: int = None,
     ) -> "InvertedIndexData":
         """Shared CSR construction from typed posting chunks
         (tid int32 insertion-order, doc uint32, impact uint8).
+
+        ``chunks`` is a list (entries freed as consumed), an iterator (with
+        ``total`` giving the posting count up front), or a ZERO-ARG CALLABLE
+        returning a fresh chunk iterator — the streaming mode used by
+        ``from_impact_store``: the source is iterated twice (count, then
+        scatter) and no input posting column is ever materialized whole.
 
         ``compact=True`` drops vocab entries with zero postings (callers
         passing a possibly-superset vocab, e.g. a quantized impact store);
@@ -156,63 +217,110 @@ class InvertedIndexData:
         order = np.argsort(terms, kind="stable")
         sorted_vocab = [terms[i] for i in order]
         nvocab = len(sorted_vocab)
-        # The (term asc, impact desc, doc asc) order comes from stable
-        # LSD-radix passes.  numpy's kind="stable" argsort only IS a radix
-        # sort for <=16-bit integers (0.9s/44M keys); for wider ints it
-        # falls back to a comparison sort (9s/44M).  So: vocab <= 65536 →
-        # two true radix passes on uint8 impact then uint16 tid; larger
-        # vocabs → one combined `tid*256 + (255-impact)` key at the
-        # narrowest dtype that fits.
-        radix16 = nvocab <= (1 << 16)
-        if radix16:
-            tid_dtype = np.uint16
-        elif nvocab * 256 + 255 < (1 << 31):
-            tid_dtype = np.int32
-        else:
-            tid_dtype = np.int64
+        tid_dtype = (np.uint16 if nvocab <= (1 << 16)
+                     else np.int32 if nvocab < (1 << 31) else np.int64)
         remap = np.empty(max(len(terms), 1), dtype=tid_dtype)
         remap[order] = np.arange(len(terms), dtype=tid_dtype)
 
-        n = sum(len(c[0]) for c in chunks)
-        tid_arr = np.empty(n, tid_dtype)
-        doc_arr = np.empty(n, np.uint32)
-        val_arr = np.empty(n, np.uint8)
+        streaming = callable(chunks)
+        if total is None:
+            if streaming:
+                raise ValueError("streaming chunks need an explicit total")
+            chunks = list(chunks)
+            total = sum(len(c[0]) for c in chunks)
+        n = total
+        # The (term asc, impact desc, doc asc) order comes from stable
+        # counting-scatter passes (_stable_scatter_pass) — ONE pass on the
+        # combined key tid*256 + (255-impact) when the bucket table fits
+        # (vocab <= 131072), else impact-descending then term-ascending;
+        # doc order rides on stability.  A whole-index argsort keeps ~24
+        # B/posting of int64 permutations live (16 GB at 385M postings);
+        # scatters bound temporaries at the chunk size.
+        combined = 0 < nvocab <= (1 << 17)
         nz_counts = np.zeros(nvocab, np.int64)
         z_counts = np.zeros(nvocab, np.int64)
+        key_counts = np.zeros(nvocab * 256, np.int64) if combined else None
+        imp_counts = np.zeros(256, np.int64)
         has_zeros = False
-        at = 0
-        while chunks:
-            ct, cd, cv = chunks.pop(0)
-            m = len(ct)
-            tid_sorted = remap[ct]
-            tid_arr[at : at + m] = tid_sorted
-            doc_arr[at : at + m] = cd
-            val_arr[at : at + m] = cv
+
+        def count_chunk(tid_sorted, cv):
+            nonlocal has_zeros
             if (cv == 0).any():
                 has_zeros = True
-                nz_counts += np.bincount(tid_sorted[cv > 0], minlength=nvocab)
-                z_counts += np.bincount(tid_sorted[cv == 0], minlength=nvocab)
+                nz_counts[:] += np.bincount(tid_sorted[cv > 0], minlength=nvocab)
+                z_counts[:] += np.bincount(tid_sorted[cv == 0], minlength=nvocab)
             else:
-                nz_counts += np.bincount(tid_sorted, minlength=nvocab)
-            at += m
-
-        if n:
-            if radix16:
-                o1 = np.argsort(255 - val_arr, kind="stable")  # impact desc
-                perm = o1[np.argsort(tid_arr[o1], kind="stable")]  # term asc
-                del o1
+                nz_counts[:] += np.bincount(tid_sorted, minlength=nvocab)
+            if combined:
+                key_counts[:] += np.bincount(
+                    _combined_key(tid_sorted, cv), minlength=nvocab * 256
+                )
             else:
-                from ..utils.sorting import radix_argsort
+                imp_counts[:] += np.bincount(cv, minlength=256)
 
-                key = tid_arr.astype(np.int64) * 256 + (255 - val_arr) \
-                    if tid_dtype == np.int64 \
-                    else tid_arr * np.int32(256) + (255 - val_arr).astype(np.int32)
-                perm = radix_argsort(key)
-                del key
-            del tid_arr
-            doc_arr = doc_arr[perm]
-            val_arr = val_arr[perm]
-            del perm
+        def _combined_key(tid_sorted, cv):
+            k = tid_sorted.astype(np.int32, copy=True)
+            k <<= 8
+            k += 255 - cv
+            return k
+
+        if streaming:
+            at = 0
+            for ct, cd, cv in chunks():
+                cv = np.asarray(cv)
+                count_chunk(remap[np.asarray(ct)], cv)
+                at += len(cv)
+            assert at == n, f"chunk total {at} != declared total {n}"
+
+            def src():
+                for ct, cd, cv in chunks():
+                    yield remap[np.asarray(ct)], np.asarray(cd), np.asarray(cv)
+        else:
+            tid_in = np.empty(n, tid_dtype)
+            doc_in = np.empty(n, np.uint32)
+            val_in = np.empty(n, np.uint8)
+            at = 0
+            for ct, cd, cv in _consume_chunks(chunks):
+                m = len(ct)
+                tid_sorted = remap[np.asarray(ct)]
+                tid_in[at : at + m] = tid_sorted
+                doc_in[at : at + m] = cd
+                val_in[at : at + m] = cv
+                count_chunk(tid_sorted, np.asarray(cv, dtype=np.uint8))
+                at += m
+            assert at == n, f"chunk total {at} != declared total {n}"
+
+            def src():
+                for s in range(0, n, _SCATTER_CHUNK):
+                    e = min(s + _SCATTER_CHUNK, n)
+                    yield tid_in[s:e], doc_in[s:e], val_in[s:e]
+
+        doc_arr = np.empty(n, np.uint32)
+        val_arr = np.empty(n, np.uint8)
+        if n and combined:
+            _stable_scatter_pass(
+                nvocab * 256, key_counts,
+                ((_combined_key(t, v), (d, v)) for t, d, v in src()),
+                (doc_arr, val_arr),
+            )
+        elif n:
+            # wide vocab: impact pass into intermediates, then term pass
+            tid1 = np.empty(n, tid_dtype)
+            doc1 = np.empty(n, np.uint32)
+            val1 = np.empty(n, np.uint8)
+            _stable_scatter_pass(
+                256, imp_counts[::-1].copy(),
+                ((255 - v, (t, d, v)) for t, d, v in src()),
+                (tid1, doc1, val1),
+            )
+            if not streaming:
+                del tid_in, doc_in, val_in
+            _stable_scatter_pass(
+                nvocab, nz_counts + z_counts,
+                _slice_pairs(n, tid1, (doc1, val1)),
+                (doc_arr, val_arr),
+            )
+            del tid1, doc1, val1
 
         if compact:
             occurs = (nz_counts + z_counts) > 0
@@ -271,21 +379,44 @@ class InvertedIndexData:
                 "from_impact_store needs a quantized store (run quantize_store "
                 "first; the inverted index holds uint8 impacts)"
             )
-        ids = np.ascontiguousarray(store.term_ids, dtype=np.int32)
-        vals = np.ascontiguousarray(store.values, dtype=np.uint8)
-        docs = np.repeat(
-            np.arange(store.num_docs, dtype=np.uint32), store.counts
-        )
+        # Stream doc-aligned chunks off the memory-mapped store: term ids
+        # and values are memmap slices (paged in as copied) and the doc-id
+        # column is generated per chunk, so no full posting column is ever
+        # materialized on the input side.
+        offsets = np.asarray(store.offsets, dtype=np.int64)
+        n_docs = store.num_docs
+
+        def chunk_iter():
+            d0 = 0
+            while d0 < n_docs:
+                d1 = int(
+                    np.searchsorted(
+                        offsets, offsets[d0] + _SCATTER_CHUNK, side="right"
+                    )
+                ) - 1
+                d1 = min(max(d1, d0 + 1), n_docs)
+                s, e = int(offsets[d0]), int(offsets[d1])
+                yield (
+                    store.term_ids[s:e],
+                    np.repeat(
+                        np.arange(d0, d1, dtype=np.uint32),
+                        np.asarray(store.counts[d0:d1], dtype=np.int64),
+                    ),
+                    store.values[s:e],
+                )
+                d0 = d1
+
         # Text-path semantics: the index vocab is the terms that OCCUR in
         # the quantized input (quantize drops all-zero terms from the text,
         # so they never reach the creator) — compact=True drops store vocab
         # entries with no postings during counting, no extra posting pass.
         return cls._finalize(
             list(store.vocab),
-            [(ids, docs, vals)],
-            num_docs=store.num_docs,
-            max_doc=store.num_docs - 1,
+            chunk_iter,
+            num_docs=n_docs,
+            max_doc=n_docs - 1,
             compact=True,
+            total=store.num_postings,
         )
 
     @classmethod

@@ -268,3 +268,36 @@ class TestRobustness:
                 w.add_doc_row(["a"], np.array([float("inf")]))
             with pytest.raises(ValueError, match="int32-milli"):
                 w.add_doc_row(["a"], np.array([3.0e9]))
+
+
+def test_wide_vocab_streaming_invert_matches_build(tmp_path):
+    """from_impact_store's streaming two-pass branch (vocab > 131072, the
+    combined-key bucket table too big) must equal InvertedIndexData.build
+    over the same postings, posting for posting."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    nvocab, per_doc = 140_000, 100
+    vocab = [f"t{i:06d}" for i in range(nvocab)]
+    docs = []
+    with ImpactStoreWriter(tmp_path / "wide", quantized=True) as w:
+        # first sweep covers EVERY term once (the store vocab only holds
+        # seen terms, and the wide branch needs > 131072 of them), then
+        # random docs add duplicate (term, impact) pairs for tie coverage
+        for d in range(nvocab // per_doc):
+            tids = np.arange(d * per_doc, (d + 1) * per_doc)
+            vals = rng.integers(1, 256, per_doc)
+            w.add_doc([(vocab[t], int(v)) for t, v in zip(tids, vals)])
+            docs.append((d, {vocab[t]: int(v) for t, v in zip(tids, vals)}))
+        for d in range(nvocab // per_doc, nvocab // per_doc + 200):
+            tids = rng.choice(nvocab, size=per_doc, replace=False)
+            vals = rng.integers(1, 4, per_doc)  # heavy impact ties
+            w.add_doc([(vocab[t], int(v)) for t, v in zip(tids, vals)])
+            docs.append((d, {vocab[t]: int(v) for t, v in zip(tids, vals)}))
+    n_docs = len(docs)
+    got = InvertedIndexData.from_impact_store(tmp_path / "wide")
+    want = InvertedIndexData.build(iter(docs), num_docs=n_docs)
+    assert got.vocab == want.vocab
+    np.testing.assert_array_equal(got.offsets, want.offsets)
+    np.testing.assert_array_equal(got.doc_ids, want.doc_ids)
+    np.testing.assert_array_equal(got.impacts, want.impacts)

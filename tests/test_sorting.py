@@ -42,3 +42,77 @@ def test_speed_sanity():
     fast = best(lambda: radix_argsort(key))
     slow = best(lambda: np.argsort(key, kind="stable"))
     assert fast < slow, (fast, slow)
+
+
+class TestStableScatterPass:
+    """The chunked counting-scatter that replaced whole-index argsorts in
+    InvertedIndexData._finalize (the 16 GB RSS spike at 385M postings) must
+    be order-identical to a stable argsort, across chunk boundaries."""
+
+    def _check(self, keys, nbuckets, chunk):
+        from improving_learned_index_tpu.index.inverted import (
+            _stable_scatter_pass,
+        )
+
+        n = len(keys)
+        payload = np.arange(n, dtype=np.int64)  # position tags expose order
+        out = np.empty(n, dtype=np.int64)
+        counts = np.bincount(keys, minlength=nbuckets).astype(np.int64)
+        pairs = (
+            (keys[s:e], (payload[s:e],))
+            for s, e in (
+                (s, min(s + chunk, n)) for s in range(0, max(n, 1), chunk)
+            )
+        )
+        _stable_scatter_pass(nbuckets, counts, pairs, (out,))
+        np.testing.assert_array_equal(out, np.argsort(keys, kind="stable"))
+
+    def test_matches_stable_argsort_narrow_and_wide(self):
+        rng = np.random.default_rng(0)
+        for nbuckets, dtype in ((7, np.uint8), (256, np.uint8),
+                                (1000, np.uint16), (70000, np.int32)):
+            keys = rng.integers(0, nbuckets, 5000).astype(dtype)
+            for chunk in (1, 13, 999, 5000, 10 ** 9):
+                self._check(keys, nbuckets, chunk)
+
+    def test_empty(self):
+        self._check(np.empty(0, np.uint8), 256, 64)
+
+
+def test_build_order_matches_lexsort_with_zero_impacts():
+    """End-to-end: InvertedIndexData.build's (term asc, impact desc,
+    doc asc) order — including a vocab wide enough for the int32 key path
+    and zero-impact postings kept in the side CSR — equals a lexsort ground
+    truth."""
+    from improving_learned_index_tpu.index.inverted import InvertedIndexData
+
+    rng = np.random.default_rng(1)
+    for nvocab in (50, 66000):
+        n_docs, per_doc = 400, 12
+        tids = rng.integers(0, nvocab, (n_docs, per_doc))
+        vals = rng.integers(0, 8, (n_docs, per_doc))  # many dups + zeros
+
+        def gen():
+            for d in range(n_docs):
+                yield d, {f"t{t:06d}": int(v)
+                          for t, v in zip(tids[d], vals[d])}
+
+        idx = InvertedIndexData.build(gen(), num_docs=n_docs)
+        # ground truth over the same (deduped per doc) postings
+        rows = []
+        for d in range(n_docs):
+            seen = {}
+            for t, v in zip(tids[d], vals[d]):
+                seen[f"t{t:06d}"] = int(v)  # dict semantics: last wins
+            rows += [(term, v, d) for term, v in seen.items()]
+        vocab = sorted({r[0] for r in rows})
+        t2i = {t: i for i, t in enumerate(vocab)}
+        order = sorted(rows, key=lambda r: (t2i[r[0]], -r[1], r[2]))
+        nz = [(t2i[t], v, d) for t, v, d in order if v > 0]
+        assert idx.vocab == vocab
+        np.testing.assert_array_equal(idx.doc_ids, [d for _, _, d in nz])
+        np.testing.assert_array_equal(idx.impacts, [v for _, v, _ in nz])
+        zs = [(t2i[t], d) for t, v, d in order if v == 0]
+        np.testing.assert_array_equal(idx.zero_doc_ids, [d for _, d in zs])
+        counts = np.bincount([t for t, _, _ in nz], minlength=len(vocab))
+        np.testing.assert_array_equal(np.diff(idx.offsets), counts)
