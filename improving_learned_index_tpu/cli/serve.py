@@ -28,6 +28,14 @@ def main(argv=None) -> int:
                         "host:port[:doc_offset] shard daemons — this daemon "
                         "fans queries out and merges exact top-k "
                         "(serve/router.py); tiers compose")
+    parser.add_argument("--shard_timeout", type=float, default=15.0,
+                        help="router mode: per-shard connect/read timeout "
+                        "in seconds (a hung shard cannot stall the router)")
+    parser.add_argument("--allow_partial", action="store_true",
+                        help="router mode: answer from the surviving shards "
+                        "when one fails, flagging each response with an "
+                        "explicit degraded.failed_shards field (default: "
+                        "exact-or-error)")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=7700)
     parser.add_argument("--engine",
@@ -52,7 +60,11 @@ def main(argv=None) -> int:
     if args.shards:
         from ..serve.router import RemoteShardedEngine
 
-        engine = RemoteShardedEngine(args.shards)
+        engine = RemoteShardedEngine(
+            args.shards,
+            shard_timeout=args.shard_timeout,
+            allow_partial=args.allow_partial,
+        )
     else:
         engine = build_engine(
             args.index_path,

@@ -22,7 +22,7 @@ import json
 import socket
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import List, Sequence, Set, Tuple
+from typing import Dict, List, Sequence, Set, Tuple
 
 from ..core.logging import get_logger
 
@@ -96,7 +96,7 @@ class ShardClient:
         raise AssertionError("unreachable")
 
 
-def _parse_shard_spec(spec: str) -> List[ShardClient]:
+def _parse_shard_spec(spec: str, timeout: float = 15.0) -> List[ShardClient]:
     """"host:port:doc_offset,host:port:doc_offset,..." (offset optional).
     IPv6 hosts must be bracketed ("[::1]:8000:0") — an unbracketed IPv6
     literal is ambiguous with the port/offset separators and is rejected
@@ -116,20 +116,32 @@ def _parse_shard_spec(spec: str) -> List[ShardClient]:
                 "(bracket IPv6 hosts: [::1]:8000)"
             )
         clients.append(ShardClient(host, int(bits[0]),
-                                   int(bits[1]) if len(bits) == 2 else 0))
+                                   int(bits[1]) if len(bits) == 2 else 0,
+                                   timeout=timeout))
     return clients
 
 
 class RemoteShardedEngine:
     """score_batch over doc-sharded remote daemons: concurrent fan-out,
-    exact top-k merge (score desc, global doc id asc)."""
+    exact top-k merge (score desc, global doc id asc).
 
-    def __init__(self, shards):
+    Fault tolerance: every shard call is bounded by ``shard_timeout``
+    (socket connect/read timeout — a hung daemon cannot stall the router
+    forever).  A shard that errors or times out fails the batch by default
+    (exact-or-error); with ``allow_partial=True`` the merge proceeds over
+    the surviving shards and the failure is reported per call via
+    ``score_batch_detailed`` — the serving daemon forwards it to clients as
+    an explicit ``degraded`` field, never as silently-missing documents.
+    """
+
+    def __init__(self, shards, shard_timeout: float = 15.0,
+                 allow_partial: bool = False):
         if isinstance(shards, str):
-            shards = _parse_shard_spec(shards)
+            shards = _parse_shard_spec(shards, timeout=shard_timeout)
         self.shards: List[ShardClient] = list(shards)
         if not self.shards:
             raise ValueError("need at least one shard")
+        self.allow_partial = allow_partial
         # one long-lived pool: score_batch runs per micro-batch (~ms cadence
         # in the router hot path) — spawning fresh threads per call costs
         # latency jitter; the pool also propagates fetch exceptions
@@ -142,17 +154,35 @@ class RemoteShardedEngine:
         for s in self.shards:
             s.close()
 
-    def score_batch(
+    def score_batch_detailed(
         self, query_term_sets: Sequence[Set[str]], top_k: int = 1000
-    ) -> List[List[Tuple[int, float]]]:
+    ) -> Tuple[List[List[Tuple[int, float]]], Dict[str, str]]:
+        """(merged top-k, {failed "host:port": error}).  Raises only when
+        EVERY shard failed (an all-dead tier has no degraded answer to
+        give) or when a shard failed and ``allow_partial`` is off."""
         futures = [
             self._pool.submit(s.score_batch, query_term_sets, top_k)
             for s in self.shards
         ]
-        results = [f.result() for f in futures]  # re-raises shard errors
+        results, failed = [], {}
+        for shard, f in zip(self.shards, futures):
+            try:
+                results.append(f.result())
+            except Exception as e:
+                failed[f"{shard.host}:{shard.port}"] = str(e)
+                logger.error(f"shard {shard.host}:{shard.port} failed: {e}")
+        if failed and (not results or not self.allow_partial):
+            raise RuntimeError(
+                "; ".join(f"shard {hp}: {err}" for hp, err in failed.items())
+            )
         merged = []
         for q in range(len(query_term_sets)):
             rows = [row for shard in results for row in shard[q]]
             rows.sort(key=lambda ds: (-ds[1], ds[0]))
             merged.append(rows[:top_k])
-        return merged
+        return merged, failed
+
+    def score_batch(
+        self, query_term_sets: Sequence[Set[str]], top_k: int = 1000
+    ) -> List[List[Tuple[int, float]]]:
+        return self.score_batch_detailed(query_term_sets, top_k)[0]

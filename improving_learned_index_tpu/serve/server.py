@@ -46,6 +46,7 @@ class _Stats:
         self.queries = 0
         self.batches = 0
         self.errors = 0
+        self.degraded = 0  # queries answered from a partial shard set
         self.latencies_ms = deque(maxlen=maxlen)
         self.started = time.time()
 
@@ -63,6 +64,7 @@ class _Stats:
                 "queries": self.queries,
                 "batches": self.batches,
                 "errors": self.errors,
+                "degraded": self.degraded,
                 "uptime_s": round(time.time() - self.started, 1),
                 "latency_ms": {"p50": q(0.50), "p95": q(0.95), "p99": q(0.99)},
             }
@@ -337,8 +339,13 @@ class RetrievalServer:
                     self.stats.errors += 1
         if not live:
             return
+        detailed = getattr(self.engine, "score_batch_detailed", None)
+        failed_shards: dict = {}
         try:
-            results = self.engine.score_batch(term_sets, k)
+            if detailed is not None:
+                results, failed_shards = detailed(term_sets, k)
+            else:
+                results = self.engine.score_batch(term_sets, k)
         except Exception as e:
             logger.error(f"score_batch failed: {e}")
             for conn, lock, req, t0, _ in live:
@@ -354,11 +361,17 @@ class RetrievalServer:
         self.stats.record_batch(
             len(live), [(now - t0) * 1e3 for (_, _, _, t0, _) in live]
         )
+        if failed_shards:
+            with self.stats.lock:
+                self.stats.degraded += len(live)
         for (conn, lock, req, t0, want_k), scores in zip(live, results):
-            self._send(
-                conn, lock,
-                {
-                    "id": req.get("id"),
-                    "results": [[int(d), float(s)] for d, s in scores[:want_k]],
-                },
-            )
+            resp = {
+                "id": req.get("id"),
+                "results": [[int(d), float(s)] for d, s in scores[:want_k]],
+            }
+            if failed_shards:
+                # explicit per-query degradation notice: the answer is
+                # exact over the LIVE shards only — never silently-missing
+                # documents (router allow_partial mode)
+                resp["degraded"] = {"failed_shards": sorted(failed_shards)}
+            self._send(conn, lock, resp)
