@@ -1,13 +1,19 @@
-"""Serving-daemon overhead benchmark: q/s and latency through cli.serve's
-TCP + dynamic micro-batching loop vs direct ``engine.score_batch`` calls on
-the same engine.
+"""Serving-daemon benchmark: q/s and latency through cli.serve's TCP +
+dynamic micro-batching loop vs direct ``engine.score_batch`` calls on the
+same engine.
 
-Runs the host (numpy) engine by default so the measured delta is the
-daemon itself (protocol parse, queueing, batching, response serialization)
-— on TPU the same daemon wraps the hybrid engine and the delta is the same
-host-side cost.
+Two modes:
+
+- ``--engine host`` (default): numpy engine, small index — isolates the
+  daemon's own cost (protocol parse, queueing, batching, serialization).
+- ``--engine hybrid``: the TPU ``HybridSearchEngine`` at corpus scale
+  (``--num_docs 1000000``) — the daemon as actually deployed; measures
+  p50/p95/p99 under concurrent clients and, with ``--hot_swap``, the
+  latency blip of a live engine swap under load.
 
     python benchmarks/serve_bench.py [--n_queries 2000] [--clients 16]
+    python benchmarks/serve_bench.py --engine hybrid --num_docs 1000000 \
+        --postings_per_doc 20 --hot_swap --out SERVE_BENCH_TPU.json
 """
 
 from __future__ import annotations
@@ -31,13 +37,27 @@ def build_index(num_docs=20_000, vocab=2_000, per_doc=20, seed=0):
     rng = np.random.default_rng(seed)
     p = 1.0 / np.arange(1, vocab + 1) ** 0.9
     p /= p.sum()
+    if num_docs <= 50_000:
+        def gen():
+            for d in range(num_docs):
+                ids = rng.choice(vocab, size=per_doc, p=p)
+                yield d, {f"t{i}": int(rng.integers(1, 255)) for i in ids}
 
-    def gen():
-        for d in range(num_docs):
-            ids = rng.choice(vocab, size=per_doc, p=p)
-            yield d, {f"t{i}": int(rng.integers(1, 255)) for i in ids}
-
-    return InvertedIndexData.build(gen(), num_docs=num_docs)
+        return InvertedIndexData.build(gen(), num_docs=num_docs)
+    # corpus scale: array-speed CSR construction (a python dict per doc
+    # costs minutes at 1M docs and is not what this bench measures)
+    n = num_docs * per_doc
+    tids = rng.choice(vocab, size=n, p=p).astype(np.int64)
+    docs = np.repeat(np.arange(num_docs, dtype=np.uint32), per_doc)
+    vals = rng.integers(1, 255, n).astype(np.uint8)
+    order = np.lexsort((docs, 255 - vals.astype(np.int64), tids))
+    counts = np.bincount(tids, minlength=vocab)
+    offsets = np.zeros(vocab + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return InvertedIndexData(
+        [f"t{i}" for i in range(vocab)], offsets,
+        docs[order], vals[order], num_docs=num_docs,
+    )
 
 
 def main(argv=None) -> int:
@@ -46,20 +66,39 @@ def main(argv=None) -> int:
     parser.add_argument("--clients", type=int, default=16)
     parser.add_argument("--terms_per_query", type=int, default=8)
     parser.add_argument("--max_batch", type=int, default=64)
+    parser.add_argument("--engine", choices=["host", "hybrid"], default="host")
+    parser.add_argument("--num_docs", type=int, default=20_000)
+    parser.add_argument("--postings_per_doc", type=int, default=20)
+    parser.add_argument("--vocab", type=int, default=2_000)
+    parser.add_argument("--hot_swap", action="store_true",
+                        help="swap_engine mid-run under full client load; "
+                        "report the latency blip around the swap")
     parser.add_argument("--out", type=Path, default=Path(__file__).parent / "SERVE_BENCH.json")
     args = parser.parse_args(argv)
 
     from improving_learned_index_tpu.search.engine import InvertedIndex
     from improving_learned_index_tpu.serve import RetrievalServer
 
-    index = build_index()
-    engine = InvertedIndex(index)
+    t_build = time.time()
+    index = build_index(args.num_docs, args.vocab, args.postings_per_doc)
+    if args.engine == "hybrid":
+        from improving_learned_index_tpu.search.hybrid_engine import HybridSearchEngine
+
+        engine = HybridSearchEngine(index)
+        swap_to = HybridSearchEngine(index) if args.hot_swap else None
+    else:
+        engine = InvertedIndex(index)
+        swap_to = InvertedIndex(index) if args.hot_swap else None
+    build_s = time.time() - t_build
     rng = np.random.default_rng(1)
     vocab = index.vocab
     queries = [
         [vocab[i] for i in rng.choice(len(vocab), size=args.terms_per_query)]
         for _ in range(args.n_queries)
     ]
+
+    # warmup (hybrid: jit compile of the serving batch shape)
+    engine.score_batch([set(q) for q in queries[: args.max_batch]], 10)
 
     # direct baseline: same batches the daemon would form
     t0 = time.time()
@@ -81,14 +120,29 @@ def main(argv=None) -> int:
         for i, q in enumerate(mine):
             t = time.time()
             sock.sendall((json.dumps({"id": i, "terms": q}) + "\n").encode())
-            json.loads(f.readline())
-            my_lat.append((time.time() - t) * 1e3)
+            resp = json.loads(f.readline())
+            assert "results" in resp, resp
+            my_lat.append((time.time(), (time.time() - t) * 1e3))
         with lock:
             lat.extend(my_lat)
         sock.close()
 
+    swap_info = {}
+
+    def swapper(t_start):
+        # swap once the run is ~halfway through, under full client load
+        while time.time() - t_start < max(daemon_eta / 2, 0.5):
+            time.sleep(0.05)
+        t_sw = time.time()
+        srv.swap_engine(swap_to)
+        swap_info["swap_at_s"] = round(t_sw - t_start, 2)
+        swap_info["swap_call_ms"] = round((time.time() - t_sw) * 1e3, 2)
+
+    daemon_eta = direct_s  # rough ETA for scheduling the mid-run swap
     t0 = time.time()
     threads = [threading.Thread(target=client, args=(c,)) for c in range(args.clients)]
+    if swap_to is not None:
+        threads.append(threading.Thread(target=swapper, args=(t0,)))
     for t in threads:
         t.start()
     for t in threads:
@@ -97,9 +151,19 @@ def main(argv=None) -> int:
     srv.stop()
 
     n = args.clients * per_client
-    lat.sort()
+    if swap_info:
+        # latency blip: worst latency in the 2s window after the swap vs
+        # the run's overall p99
+        t_sw = t0 + swap_info["swap_at_s"]
+        window = [l for te, l in lat if t_sw <= te <= t_sw + 2.0]
+        swap_info["post_swap_max_ms"] = round(max(window), 2) if window else None
+        swap_info["post_swap_queries"] = len(window)
+    lat = sorted(l for _, l in lat)
     report = {
-        "engine": "host (numpy)",
+        "engine": args.engine,
+        "index": {"num_docs": args.num_docs, "vocab": args.vocab,
+                  "postings": int(index.num_postings),
+                  "build_and_engine_init_s": round(build_s, 1)},
         "n_queries": n,
         "clients": args.clients,
         "direct_q_per_s": round(len(queries) / direct_s, 1),
@@ -111,6 +175,7 @@ def main(argv=None) -> int:
             "p99": round(lat[int(len(lat) * 0.99)], 2),
         },
         "stats": srv.stats.snapshot(),
+        **({"hot_swap": swap_info} if swap_info else {}),
     }
     args.out.write_text(json.dumps(report, indent=2) + "\n")
     print(json.dumps(report))

@@ -29,8 +29,12 @@ def _index():
 
 
 class _Client:
-    def __init__(self, port):
-        self.sock = socket.create_connection(("127.0.0.1", port), timeout=10)
+    # 60s socket timeout: these tests are event-driven (every recv waits on
+    # a response the server owes), so the timeout only fires when the host
+    # is pathologically starved — 10s proved too tight under a full
+    # parallel-suite load (r3 flake of test_concurrent_clients_batch_and_agree)
+    def __init__(self, port, timeout=60):
+        self.sock = socket.create_connection(("127.0.0.1", port), timeout=timeout)
         self.f = self.sock.makefile("rb")
 
     def call(self, req):
@@ -102,21 +106,27 @@ def test_errors(server):
 def test_concurrent_clients_batch_and_agree(server):
     srv, engine = server
     n = 24
-    results = {}
+    results, errors = {}, {}
     lock = threading.Lock()
 
     def worker(i):
-        c = _Client(srv.port)
-        r = c.call({"id": i, "terms": ["apple", "cherry"]})
-        with lock:
-            results[i] = r
-        c.close()
+        try:
+            c = _Client(srv.port)
+            r = c.call({"id": i, "terms": ["apple", "cherry"]})
+            with lock:
+                results[i] = r
+            c.close()
+        except Exception as e:  # surface, don't silently drop the slot
+            with lock:
+                errors[i] = repr(e)
 
     threads = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
     for t in threads:
         t.start()
     for t in threads:
-        t.join(timeout=120)  # generous: the CI box is one contended core
+        t.join(timeout=300)  # generous: the CI box is one contended core
+    stuck = [i for i, t in enumerate(threads) if t.is_alive()]
+    assert not stuck and not errors, f"stuck={stuck} errors={errors}"
     expect = [[int(d), float(s)] for d, s in engine.score_batch([{"apple", "cherry"}], 10)[0]]
     assert len(results) == n
     for i in range(n):
