@@ -70,6 +70,70 @@ def collate_examples(
     return {"input_ids": input_ids, "labels": labels, "attention_mask": mask}
 
 
+def layerwise_lm_logits(config, lora_config, lora, base_params, batch):
+    """Logits with per-layer dequant+merge inside ``jax.checkpoint``.
+
+    The merged-tree path (``lora_forward_params`` over the whole model)
+    makes XLA hold the full dequantized+merged bf16 weights (13.4 GB at
+    7B) NEXT TO the quantized base for the forward+backward — an OOM on a
+    16 GB chip.  Here each layer's weights are dequantized and LoRA-merged
+    INSIDE a checkpoint region, so the backward recomputes them and at any
+    moment only ~one layer's full-precision weights are live.  Numerically
+    identical to the merged path (same math, different schedule) —
+    tests/test_finetune.py pins loss+grad parity.
+    """
+    from ..models.llama import LlamaLayer, RMSNorm
+    from ..models.quantization import dequantize_params
+    from .lora import merge_lora
+
+    c = config
+    dt = jnp.dtype(c.dtype)
+    input_ids = batch["input_ids"]
+    attention_mask = batch["attention_mask"]
+    bsz, qlen = input_ids.shape
+    base = jax.lax.stop_gradient(base_params)
+
+    def deq_merge(subtree, lora_subtree):
+        merged = dequantize_params(subtree, dtype=dt)
+        if lora_subtree:
+            merged = merge_lora(merged, lora_subtree, lora_config)
+        return merged
+
+    embed = deq_merge(base["embed_tokens"], lora.get("embed_tokens"))
+    x = jnp.take(embed["embedding"], input_ids, axis=0).astype(dt)
+    positions = jnp.broadcast_to(
+        jnp.arange(qlen, dtype=jnp.int32)[None], (bsz, qlen)
+    )
+    causal = jnp.tril(jnp.ones((qlen, qlen), dtype=bool))
+    mask = causal[None, None] & attention_mask[:, None, None, :].astype(bool)
+    bias = jnp.where(mask, 0.0, jnp.finfo(jnp.float32).min).astype(jnp.float32)
+
+    layer_mod = LlamaLayer(c)
+
+    @jax.checkpoint
+    def layer_step(x, layer_q, layer_lora):
+        merged = deq_merge(layer_q, layer_lora)
+        out, _ = layer_mod.apply({"params": merged}, x, positions, bias)
+        return out
+
+    for i in range(c.num_layers):
+        key = f"layer_{i}"
+        x = layer_step(x, base[key], lora.get(key, {}))
+
+    norm = dequantize_params(base["norm"], dtype=dt)
+    x = RMSNorm(c.rms_norm_eps).apply({"params": norm}, x)
+    if c.tie_word_embeddings:
+        logits = jnp.einsum(
+            "blh,vh->blv",
+            x.astype(jnp.float32),
+            embed["embedding"].astype(jnp.float32),
+        )
+    else:
+        head = deq_merge(base["lm_head"], lora.get("lm_head"))
+        logits = x.astype(jnp.float32) @ head["kernel"].astype(jnp.float32)
+    return logits
+
+
 def causal_lm_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     """Next-token CE averaged over non-ignored positions (HF semantics)."""
     shift_logits = logits[:, :-1, :]
@@ -112,6 +176,10 @@ class Doc2QueryFineTuner:
         # optax.adamw's own default; kept as the explicit default so adding
         # the knob did not change how existing fine-tune runs train
         weight_decay: float = 1e-4,
+        # None = auto: per-layer dequant+merge under jax.checkpoint when the
+        # base is quantized and the model is deep (the merged-tree schedule
+        # holds all dequantized weights live — OOM at 7B on 16 GB)
+        layerwise: Optional[bool] = None,
     ):
         self.base_params = params
         self.config = config
@@ -124,6 +192,15 @@ class Doc2QueryFineTuner:
         self.bos_token_id = bos_token_id
         self.module = LlamaModel(config)
         self.lora = init_lora_params(params, lora_config, jax.random.PRNGKey(seed))
+        if not jax.tree_util.tree_leaves(self.lora):
+            # a PRE-quantized tree has {"q","s"} leaves under each kernel, so
+            # the target scan finds nothing — training would be a silent
+            # no-op (pass the fp tree; quantization happens here)
+            raise ValueError(
+                "no LoRA targets found in params — pass full-precision "
+                "params (quantize via quantize_base=...), and check "
+                "lora_config.targets"
+            )
         if quantize_base_int8 and quantize_base is None:
             quantize_base = "int8"
         if quantize_base is not None:
@@ -145,11 +222,19 @@ class Doc2QueryFineTuner:
         self.tx = optax.chain(*chain)
         self.opt_state = self.tx.init(self.lora)
 
+        if layerwise is None:
+            layerwise = quantize_base is not None and config.num_layers >= 16
+        self.layerwise = layerwise
         module, lcfg = self.module, lora_config
 
         def loss_fn(lora, base_params, batch):
             from ..models.quantization import dequantize_params
 
+            if layerwise:
+                logits = layerwise_lm_logits(
+                    config, lcfg, lora, base_params, batch
+                )
+                return causal_lm_loss(logits, batch["labels"])
             base = dequantize_params(base_params, dtype=jnp.dtype(config.dtype))
             merged = lora_forward_params(base, lora, lcfg)
             logits, _ = module.apply(

@@ -203,3 +203,83 @@ def test_train_flushes_trailing_partial_batch():
                         jax.tree_util.tree_leaves(ft.lora))
     )
     assert changed
+
+
+def test_layerwise_loss_matches_merged_path():
+    """The memory-bounded layerwise schedule (per-layer dequant+merge under
+    jax.checkpoint — the 7B-on-16GB path) must be numerically identical to
+    the merged-tree path: same loss, same adapter gradients."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from improving_learned_index_tpu.models.llama import LlamaConfig
+
+    cfg = dataclasses.replace(LlamaConfig.tiny(vocab_size=260), dtype="float32")
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    pairs = [("dogs are loyal pets", "loyal dog"), ("foxes are quick", "quick fox")]
+
+    fts = [
+        Doc2QueryFineTuner(
+            params, cfg, ByteTok(), lr=1e-3, max_length=64, seed=1,
+            quantize_base="int8", layerwise=lw,
+        )
+        for lw in (False, True)
+    ]
+    assert fts[0].layerwise is False and fts[1].layerwise is True
+    batch = fts[0].make_batch(pairs)
+
+    def loss_and_grads(ft):
+        def f(lora):
+            from improving_learned_index_tpu.expand.finetune import (
+                causal_lm_loss,
+                layerwise_lm_logits,
+            )
+            from improving_learned_index_tpu.expand.lora import (
+                lora_forward_params,
+            )
+            from improving_learned_index_tpu.models.quantization import (
+                dequantize_params,
+            )
+
+            if ft.layerwise:
+                logits = layerwise_lm_logits(
+                    cfg, ft.lora_config, lora, ft.base_params, batch
+                )
+                return causal_lm_loss(logits, batch["labels"])
+            base = dequantize_params(ft.base_params, dtype=jnp.float32)
+            merged = lora_forward_params(base, lora, ft.lora_config)
+            logits, _ = ft.module.apply(
+                {"params": merged}, batch["input_ids"], batch["attention_mask"]
+            )
+            return causal_lm_loss(logits, batch["labels"])
+
+        return jax.value_and_grad(f)(ft.lora)
+
+    (l0, g0), (l1, g1) = loss_and_grads(fts[0]), loss_and_grads(fts[1])
+    assert abs(float(l0) - float(l1)) < 1e-5, (l0, l1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+    # and one real train step decreases loss on the layerwise path
+    avg = fts[1].train(pairs * 4, batch_size=4, total_steps=2)
+    assert np.isfinite(avg)
+
+
+def test_prequantized_params_rejected():
+    """Passing an already-quantized tree used to silently create ZERO LoRA
+    adapters (the {"q","s"} leaves hide every kernel) — training became a
+    no-op.  Now it raises."""
+    import dataclasses
+
+    from improving_learned_index_tpu.models.llama import LlamaConfig
+    from improving_learned_index_tpu.models.quantization import (
+        quantize_params_int8,
+    )
+
+    cfg = dataclasses.replace(LlamaConfig.tiny(vocab_size=260), dtype="float32")
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    import pytest
+
+    with pytest.raises(ValueError, match="no LoRA targets"):
+        Doc2QueryFineTuner(quantize_params_int8(params), cfg, ByteTok())
