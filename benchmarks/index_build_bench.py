@@ -104,6 +104,10 @@ def main(argv=None) -> int:
     parser.add_argument("--pack", action="store_true",
                         help="sequence-packed encode (several docs per row; "
                         "pays off when max_length >> mean doc tokens)")
+    parser.add_argument("--resume", action="store_true",
+                        help="skip stages whose outputs already exist in "
+                        "--workdir (for re-running a crashed tail; the "
+                        "canonical artifact must come from a clean run)")
     args = parser.parse_args(argv)
 
     from improving_learned_index_tpu.cli import build_vocab, index as cli_index
@@ -117,7 +121,12 @@ def main(argv=None) -> int:
     sampler = RssSampler()
     stages = {}
 
-    def stage(name, fn):
+    def stage(name, fn, done: Path | None = None):
+        if args.resume and done is not None and done.exists():
+            stages[name] = {"seconds": None, "peak_rss_mb": None,
+                            "skipped": "resume: output exists"}
+            print(f"[{name}] skipped (resume)", flush=True)
+            return None
         t0 = time.time()
         out = fn()
         dt = time.time() - t0
@@ -126,10 +135,10 @@ def main(argv=None) -> int:
         return out
 
     coll = work / "collection.tsv"
-    stage("generate_collection", lambda: gen_collection(coll, args.n_docs))
+    stage("generate_collection", lambda: gen_collection(coll, args.n_docs), done=coll)
 
     vocab_path = work / "vocab.txt"
-    stage("build_vocab", lambda: build_vocab.main([
+    stage("build_vocab", done=vocab_path, fn=lambda: build_vocab.main([
         "--collection_path", str(coll), "--output_path", str(vocab_path),
         "--max_size", "32000", "--min_freq", "1",
     ]))
@@ -150,12 +159,14 @@ def main(argv=None) -> int:
         "--max_length", str(args.max_length),
         "--model_batch_size", str(args.model_batch_size),
         *(["--pack"] if args.pack else []),
-    ]))
+    ]), done=fwd)
 
-    stage("quantize", lambda: cli_quantize.main(["-i", str(fwd), "-o", str(quant)]))
+    stage("quantize", lambda: cli_quantize.main(["-i", str(fwd), "-o", str(quant)]),
+          done=quant)
 
     inv_dir = work / "inverted"
-    stage("invert", lambda: cli_invert.main(["-i", str(quant), "-o", str(inv_dir)]))
+    stage("invert", lambda: cli_invert.main(["-i", str(quant), "-o", str(inv_dir)]),
+          done=inv_dir / "inverted_index.dat")
 
     index = stage("load_index", lambda: InvertedIndexData.load(inv_dir, num_docs=args.n_docs))
     engine = stage("engine_init", lambda: HybridSearchEngine(index))

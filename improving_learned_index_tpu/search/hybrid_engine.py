@@ -181,12 +181,7 @@ def build_dense_rows(
     p_heavy = int(heavy_starts[-1])
     if t_heavy == 0 or p_heavy == 0:
         return jax.device_put(np.zeros((max(t_heavy, 1), n_pad), dtype=jnp.bfloat16))
-    # Row of each heavy posting, computed on device from the tiny row
-    # starts table (an uploaded [P_heavy] row-id array would be ~150MB).
-    bounds = jnp.asarray(heavy_starts[1:])
-    row_of = jnp.searchsorted(bounds, jnp.arange(p_heavy), side="right").astype(
-        jnp.int32
-    )
+    assert p_heavy < 2**31, "int32 posting positions"
 
     ch = min(chunk_rows, t_heavy)
     chunk_lens = [
@@ -197,20 +192,34 @@ def build_dense_rows(
     # ONE compiled program called per chunk with device scalars (each
     # distinct shape costs a fresh XLA compile — ~30s+ through the relay).
     width = _bucket(max(max(chunk_lens), 1))
-    pad = jnp.zeros(width, jnp.int32)
-    rows_p = jnp.concatenate([row_of, pad])
-    docs_p = jnp.concatenate([doc_ids, pad])
-    vals_p = jnp.concatenate([impacts, pad.astype(jnp.float32)])
+    # Slice straight from the caller's CSR arrays — a padded copy of the
+    # heavy region (3 arrays + a per-posting row-id table) costs ~5x
+    # P_heavy x 4B of transient HBM, which OOMed engine init at 8.8M docs
+    # / 389M postings.  Row ids come from searchsorted over the tiny row
+    # boundary table per chunk instead.  dynamic_slice clamps the start so
+    # the window always stays in range; validity is decided by GLOBAL
+    # posting position against the chunk's [lo, hi) so a clamped window
+    # still masks correctly.  Padding is needed only in the rare case the
+    # power-of-two width exceeds the whole array.
+    if width > doc_ids.shape[0]:
+        deficit = width - doc_ids.shape[0]
+        doc_ids = jnp.concatenate([doc_ids, jnp.zeros(deficit, doc_ids.dtype)])
+        impacts = jnp.concatenate([impacts, jnp.zeros(deficit, impacts.dtype)])
+    bounds = jnp.asarray(heavy_starts[1:].astype(np.int32))
 
-    @partial(jax.jit, static_argnums=(6,))
-    def scatter_chunk(rows_p, docs_p, vals_p, s0, n_valid, r0, dtype):
-        rows = jax.lax.dynamic_slice(rows_p, (s0,), (width,))
-        docs = jax.lax.dynamic_slice(docs_p, (s0,), (width,))
-        vals = jax.lax.dynamic_slice(vals_p, (s0,), (width,))
-        valid = jnp.arange(width) < n_valid
-        vals = jnp.where(valid, vals, 0.0)
+    @partial(jax.jit, static_argnums=(7,))
+    def scatter_chunk(docs_a, vals_a, bounds, lo, hi, start, r0, dtype):
+        # clamp explicitly (mirroring dynamic_slice) so pos matches the
+        # window the slice actually reads
+        start = jnp.clip(start, 0, docs_a.shape[0] - width)
+        pos = start + jnp.arange(width, dtype=jnp.int32)
+        docs = jax.lax.dynamic_slice(docs_a, (start,), (width,))
+        vals = jax.lax.dynamic_slice(vals_a, (start,), (width,))
+        valid = (pos >= lo) & (pos < hi)
+        rows = jnp.searchsorted(bounds, pos, side="right").astype(jnp.int32)
         rows = jnp.where(valid, rows - r0, 0)  # padding lands at [0, 0] += 0
         docs = jnp.where(valid, docs, 0)
+        vals = jnp.where(valid, vals, 0.0)
         acc = jnp.zeros((ch, n_pad), jnp.float32)
         acc = acc.at[rows, docs].add(vals)
         # cast INSIDE the jit: the fp32 accumulator stays a transient
@@ -227,12 +236,14 @@ def build_dense_rows(
     def build(dtype):
         dense = jnp.zeros((t_heavy, n_pad), dtype)
         maxes = []
-        for i, r0 in enumerate(range(0, t_heavy, ch)):
+        for r0 in range(0, t_heavy, ch):
             r1 = min(r0 + ch, t_heavy)
             s0 = int(heavy_starts[r0])
+            s1 = int(heavy_starts[r1])
             acc, mx = scatter_chunk(
-                rows_p, docs_p, vals_p,
-                jnp.int32(s0), jnp.int32(chunk_lens[i]), jnp.int32(r0), dtype,
+                doc_ids, impacts, bounds,
+                jnp.int32(s0), jnp.int32(s1), jnp.int32(s0), jnp.int32(r0),
+                dtype,
             )
             dense = place(dense, acc if r1 - r0 == ch else acc[: r1 - r0],
                           jnp.int32(r0))
@@ -505,13 +516,15 @@ class HybridSearchEngine:
         else:
             self.dense = jax.device_put(np.zeros((1, self.n_pad), dtype=jnp.bfloat16))
 
-    _DENSE_CHUNK_ROWS = 64  # fp32 scatter buffer: 64 rows x n_pad (2.25GB at 8.8M docs)
+    _DENSE_CHUNK_ROWS = 32  # fp32 scatter buffer: 32 rows x n_pad (1.13GB at 8.8M docs)
 
     def _build_dense_on_device(self, heavy_starts: np.ndarray):
-        p_heavy = int(heavy_starts[-1])
+        # full arrays, not [:p_heavy] slices — the slice is a device COPY
+        # (~1.2GB at 389M postings); build_dense_rows only reads the heavy
+        # prefix, masked by global position
         return build_dense_rows(
-            self.doc_ids[:p_heavy],
-            self.impacts[:p_heavy],
+            self.doc_ids,
+            self.impacts,
             heavy_starts,
             self.t_heavy,
             self.n_pad,
