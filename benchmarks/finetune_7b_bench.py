@@ -52,6 +52,7 @@ def hbm_stats(device):
             "peak_bytes_in_use_gb": round(
                 st.get("peak_bytes_in_use", 0) / 2**30, 2
             ),
+            "bytes_limit_gb": round(st.get("bytes_limit", 0) / 2**30, 2),
         }
     except Exception:
         return {"note": "memory_stats unavailable on this backend"}
@@ -65,9 +66,44 @@ def main(argv=None) -> int:
     ap.add_argument("--steps", type=int, default=6)
     ap.add_argument("--max_length", type=int, default=2048)
     ap.add_argument("--layers", type=int, default=32)
+    ap.add_argument("--flash", action=argparse.BooleanOptionalAction, default=True,
+                    help="Pallas flash attention for the full-sequence path "
+                    "(the XLA path's fp32 [B,H,S,S] logits+probs are the "
+                    "peak-HBM term of the backward at 7B/S=2048)")
     ap.add_argument("--out", type=Path,
                     default=Path(__file__).parent / "FINETUNE_7B.json")
     args = ap.parse_args(argv)
+
+    if len(args.recipes) > 1:
+        # one subprocess per recipe: a recipe that OOMs must not poison the
+        # next one's TPU context (leaked HBM buffers survive within a
+        # process — observed: int8 OOM -> trl_4bit failing at PRNGKey)
+        import subprocess
+
+        results, meta = {}, {}
+        for recipe in args.recipes:
+            part = args.out.with_suffix(f".{recipe}.part.json")
+            cmd = [sys.executable, __file__, "--recipes", recipe,
+                   "--batches", *map(str, args.batches),
+                   "--steps", str(args.steps),
+                   "--max_length", str(args.max_length),
+                   "--layers", str(args.layers),
+                   "--flash" if args.flash else "--no-flash",
+                   "--out", str(part)]
+            rc = subprocess.call(cmd)
+            if part.exists():
+                rep = json.loads(part.read_text())
+                results.update(rep.get("results", {}))
+                meta = {k: rep[k] for k in
+                        ("geometry", "schedule", "adapters", "reference")
+                        if k in rep}
+                part.unlink()
+            else:
+                results[recipe] = {"error": f"subprocess rc={rc}, no output"}
+        report = {**meta, "results": results}
+        args.out.write_text(json.dumps(report, indent=2) + "\n")
+        print(json.dumps(report))
+        return 0
 
     import jax
 
@@ -82,6 +118,7 @@ def main(argv=None) -> int:
         vocab_size=32000, hidden_size=4096, num_layers=args.layers,
         num_heads=32, num_kv_heads=32, intermediate_size=11008,
         max_position_embeddings=args.max_length,
+        use_flash_attention=args.flash,
     )
     n_params = (
         config.vocab_size * config.hidden_size * 2

@@ -92,8 +92,12 @@ def main(argv=None) -> int:
     build_s = time.time() - t_build
     rng = np.random.default_rng(1)
     vocab = index.vocab
+    # Zipf-weighted query terms (frequent corpus terms are frequent in
+    # queries too — same distribution as query_bench.py)
+    qp = 1.0 / np.arange(1, len(vocab) + 1) ** 0.9
+    qp /= qp.sum()
     queries = [
-        [vocab[i] for i in rng.choice(len(vocab), size=args.terms_per_query)]
+        [vocab[i] for i in rng.choice(len(vocab), size=args.terms_per_query, p=qp)]
         for _ in range(args.n_queries)
     ]
 
@@ -108,6 +112,28 @@ def main(argv=None) -> int:
 
     srv = RetrievalServer(engine, top_k=10, max_batch=args.max_batch, max_wait_ms=2.0)
     srv.start()
+
+    # Warmup THROUGH the daemon at measurement concurrency: the engine
+    # buckets batch sizes (nq -> multiples of 8), and each new bucket shape
+    # is a jit compile — without this, a handful of multi-second compile
+    # stalls land in the measured p99.
+    def warm_client(cid, n):
+        sock = socket.create_connection(("127.0.0.1", srv.port))
+        f = sock.makefile("rb")
+        for i in range(n):
+            sock.sendall((json.dumps({"id": i, "terms": queries[(cid + i) % len(queries)]}) + "\n").encode())
+            json.loads(f.readline())
+        sock.close()
+
+    t_warm = time.time()
+    for conc in (args.clients, max(1, args.clients // 2), 1):
+        ws = [threading.Thread(target=warm_client, args=(c, 8)) for c in range(conc)]
+        for t in ws:
+            t.start()
+        for t in ws:
+            t.join()
+    warm_s = time.time() - t_warm
+    srv.stats.reset()  # warmup compile stalls must not pollute percentiles
     per_client = len(queries) // args.clients
     lat: list = []
     lock = threading.Lock()
@@ -166,6 +192,8 @@ def main(argv=None) -> int:
                   "build_and_engine_init_s": round(build_s, 1)},
         "n_queries": n,
         "clients": args.clients,
+        "warmup_s": round(warm_s, 1),
+        "pipeline_depth": srv.pipeline_depth,
         "direct_q_per_s": round(len(queries) / direct_s, 1),
         "daemon_q_per_s": round(n / daemon_s, 1),
         "daemon_overhead_us_per_query": round((daemon_s - direct_s * n / len(queries)) / n * 1e6, 1),

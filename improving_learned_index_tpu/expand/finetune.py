@@ -70,8 +70,9 @@ def collate_examples(
     return {"input_ids": input_ids, "labels": labels, "attention_mask": mask}
 
 
-def layerwise_lm_logits(config, lora_config, lora, base_params, batch):
-    """Logits with per-layer dequant+merge inside ``jax.checkpoint``.
+def _layerwise_trunk(config, lora_config, lora, base_params, batch):
+    """Hidden states after the final norm, with per-layer dequant+merge
+    inside ``jax.checkpoint``.
 
     The merged-tree path (``lora_forward_params`` over the whole model)
     makes XLA hold the full dequantized+merged bf16 weights (13.4 GB at
@@ -81,6 +82,10 @@ def layerwise_lm_logits(config, lora_config, lora, base_params, batch):
     moment only ~one layer's full-precision weights are live.  Numerically
     identical to the merged path (same math, different schedule) —
     tests/test_finetune.py pins loss+grad parity.
+
+    Returns ``(x, head_kernel)`` where ``head_kernel`` is the (merged)
+    ``[hidden, vocab]`` output projection — the tied embedding transposed
+    when ``config.tie_word_embeddings``.
     """
     from ..models.llama import LlamaLayer, RMSNorm
     from ..models.quantization import dequantize_params
@@ -109,11 +114,14 @@ def layerwise_lm_logits(config, lora_config, lora, base_params, batch):
     bias = jnp.where(mask, 0.0, jnp.finfo(jnp.float32).min).astype(jnp.float32)
 
     layer_mod = LlamaLayer(c)
+    seg_ids = attention_mask if c.use_flash_attention else None
 
     @jax.checkpoint
     def layer_step(x, layer_q, layer_lora):
         merged = deq_merge(layer_q, layer_lora)
-        out, _ = layer_mod.apply({"params": merged}, x, positions, bias)
+        out, _ = layer_mod.apply(
+            {"params": merged}, x, positions, bias, segment_ids=seg_ids
+        )
         return out
 
     for i in range(c.num_layers):
@@ -123,15 +131,74 @@ def layerwise_lm_logits(config, lora_config, lora, base_params, batch):
     norm = dequantize_params(base["norm"], dtype=dt)
     x = RMSNorm(c.rms_norm_eps).apply({"params": norm}, x)
     if c.tie_word_embeddings:
-        logits = jnp.einsum(
-            "blh,vh->blv",
-            x.astype(jnp.float32),
-            embed["embedding"].astype(jnp.float32),
-        )
+        head_kernel = embed["embedding"].T
     else:
         head = deq_merge(base["lm_head"], lora.get("lm_head"))
-        logits = x.astype(jnp.float32) @ head["kernel"].astype(jnp.float32)
-    return logits
+        head_kernel = head["kernel"]
+    return x, head_kernel
+
+
+def layerwise_lm_logits(config, lora_config, lora, base_params, batch):
+    """Full ``[B, S, vocab]`` fp32 logits via the layerwise trunk (see
+    ``_layerwise_trunk``).  Training uses ``layerwise_lm_loss`` instead,
+    which never materializes this tensor."""
+    x, head_kernel = _layerwise_trunk(config, lora_config, lora, base_params, batch)
+    return jnp.einsum(
+        "blh,hv->blv", x.astype(jnp.float32), head_kernel.astype(jnp.float32)
+    )
+
+
+def layerwise_lm_loss(config, lora_config, lora, base_params, batch,
+                      chunk: int = 256) -> jnp.ndarray:
+    """Next-token CE via the layerwise trunk with a **sequence-chunked**
+    head: logits are computed ``chunk`` positions at a time inside
+    ``jax.checkpoint``, so the full ``[B, S, vocab]`` fp32 logits (262 MB at
+    B=1/S=2048/V=32000 — and ~4× that with softmax temps and the backward's
+    dlogits) are never live.  Per-position CE is independent along the
+    sequence, so chunking is the same math as ``causal_lm_loss`` on full
+    logits up to fp summation order.
+    """
+    x, head_kernel = _layerwise_trunk(config, lora_config, lora, base_params, batch)
+    labels = batch["labels"]
+    bsz, qlen, hid = x.shape
+    # shift once: position t is scored against label t+1; the last position
+    # gets IGNORE so every chunk shares one code path
+    shifted = jnp.concatenate(
+        [labels[:, 1:], jnp.full((bsz, 1), IGNORE_INDEX, labels.dtype)], axis=1
+    )
+    chunk = min(chunk, qlen)
+    n_chunks = -(-qlen // chunk)
+    pad = n_chunks * chunk - qlen
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        shifted = jnp.pad(shifted, ((0, 0), (0, pad)), constant_values=IGNORE_INDEX)
+    # scan over chunks: [n_chunks, B, chunk, hid]
+    x_chunks = x.reshape(bsz, n_chunks, chunk, hid).transpose(1, 0, 2, 3)
+    lab_chunks = shifted.reshape(bsz, n_chunks, chunk).transpose(1, 0, 2)
+
+    @jax.checkpoint
+    def chunk_ce(xc, labc, head):
+        logits = jax.lax.dot_general(
+            xc, head,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [B, chunk, vocab] fp32 — the only logits buffer ever live
+        valid = labc != IGNORE_INDEX
+        safe = jnp.where(valid, labc, 0)
+        logz = jax.scipy.special.logsumexp(logits, axis=-1)
+        tok = logz - jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+        tok = jnp.where(valid, tok, 0.0)
+        return jnp.sum(tok), jnp.sum(valid)
+
+    def body(carry, xs):
+        xc, labc = xs
+        s, n = chunk_ce(xc, labc, head_kernel)
+        return (carry[0] + s, carry[1] + n), None
+
+    (loss_sum, count), _ = jax.lax.scan(
+        body, (jnp.float32(0.0), jnp.int32(0)), (x_chunks, lab_chunks)
+    )
+    return loss_sum / jnp.maximum(count, 1)
 
 
 def causal_lm_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
@@ -231,10 +298,9 @@ class Doc2QueryFineTuner:
             from ..models.quantization import dequantize_params
 
             if layerwise:
-                logits = layerwise_lm_logits(
+                return layerwise_lm_loss(
                     config, lcfg, lora, base_params, batch
                 )
-                return causal_lm_loss(logits, batch["labels"])
             base = dequantize_params(base_params, dtype=jnp.dtype(config.dtype))
             merged = lora_forward_params(base, lora, lcfg)
             logits, _ = module.apply(

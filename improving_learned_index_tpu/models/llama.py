@@ -46,6 +46,13 @@ class LlamaConfig:
     # benchmarks/LLAMA7B_INT4.json).  Scales fold into the attention
     # einsums, so no dequantized cache is ever materialized.
     kv_quant: str = "none"
+    # Full-sequence (no-cache) attention via the Pallas flash kernel with
+    # online softmax: the XLA path materializes fp32 [B, H, S, S] logits +
+    # probs (537 MB each at B=1/H=32/S=2048) — the peak-HBM term of the 7B
+    # QLoRA backward on a 16 GB chip.  Opt-in: TPU-only kernel, and the
+    # caller must pass ``segment_ids`` (causal + padding-segment semantics
+    # replace the additive bias).  Decode/cached paths are unaffected.
+    use_flash_attention: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -116,7 +123,8 @@ class LlamaAttention(nn.Module):
     config: LlamaConfig
 
     @nn.compact
-    def __call__(self, x, positions, attention_bias, kv_cache=None, cache_index=None):
+    def __call__(self, x, positions, attention_bias, kv_cache=None, cache_index=None,
+                 segment_ids=None):
         c = self.config
         dt = jnp.dtype(c.dtype)
         hd = c.head_dim
@@ -167,6 +175,33 @@ class LlamaAttention(nn.Module):
             k = jnp.repeat(k, rep, axis=2)
             v = jnp.repeat(v, rep, axis=2)
 
+        if (c.use_flash_attention and kv_cache is None
+                and segment_ids is not None
+                and jax.default_backend() == "tpu"):
+            # Pallas flash path: fp32 [S, S] tiles live only in VMEM.
+            # segment_ids carry the padding structure (pad rows attend only
+            # pads — their outputs are garbage the loss never reads, exactly
+            # like the additive-bias path); causal=True replaces the tril.
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                SegmentIds,
+                flash_attention,
+            )
+
+            seg = segment_ids.astype(jnp.int32)
+            ctx = flash_attention(
+                jnp.transpose(q, (0, 2, 1, 3)).astype(dt),
+                jnp.transpose(k, (0, 2, 1, 3)).astype(dt),
+                jnp.transpose(v, (0, 2, 1, 3)).astype(dt),
+                segment_ids=SegmentIds(q=seg, kv=seg),
+                causal=True,
+                sm_scale=float(1.0 / np.sqrt(hd)),
+            )
+            ctx = jnp.transpose(ctx, (0, 2, 1, 3)).astype(dt)
+            out = nn.DenseGeneral(
+                c.hidden_size, axis=(-2, -1), use_bias=False, dtype=dt, name="o_proj"
+            )(ctx)
+            return out, new_cache
+
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
         if k_scale is not None:
             logits = logits * jnp.transpose(k_scale, (0, 2, 1))[:, :, None, :]
@@ -200,7 +235,8 @@ class LlamaLayer(nn.Module):
     config: LlamaConfig
 
     @nn.compact
-    def __call__(self, x, positions, attention_bias, kv_cache=None, cache_index=None):
+    def __call__(self, x, positions, attention_bias, kv_cache=None, cache_index=None,
+                 segment_ids=None):
         c = self.config
         h, new_cache = LlamaAttention(c, name="attention")(
             RMSNorm(c.rms_norm_eps, name="input_norm")(x),
@@ -208,6 +244,7 @@ class LlamaLayer(nn.Module):
             attention_bias,
             kv_cache,
             cache_index,
+            segment_ids,
         )
         x = x + h
         x = x + LlamaMLP(c, name="mlp")(RMSNorm(c.rms_norm_eps, name="post_attn_norm")(x))
@@ -255,11 +292,13 @@ class LlamaModel(nn.Module):
             mask = attention_mask[:, None, None, :].astype(bool) & (slot_ids <= q_ids)
         bias = jnp.where(mask, 0.0, jnp.finfo(jnp.float32).min).astype(jnp.float32)
 
+        seg_ids = (attention_mask if c.use_flash_attention and kv_caches is None
+                   else None)
         new_caches = []
         for i in range(c.num_layers):
             cache_i = kv_caches[i] if kv_caches is not None else None
             x, new_cache = LlamaLayer(c, name=f"layer_{i}")(
-                x, positions, bias, cache_i, cache_index
+                x, positions, bias, cache_i, cache_index, seg_ids
             )
             new_caches.append(new_cache)
         x = RMSNorm(c.rms_norm_eps, name="norm")(x)

@@ -50,6 +50,14 @@ class _Stats:
         self.latencies_ms = deque(maxlen=maxlen)
         self.started = time.time()
 
+    def reset(self) -> None:
+        """Zero every counter (e.g. after a warmup phase whose compile
+        stalls should not pollute monitored percentiles)."""
+        with self.lock:
+            self.queries = self.batches = self.errors = self.degraded = 0
+            self.latencies_ms.clear()
+            self.started = time.time()
+
     def record_batch(self, n: int, per_query_ms: List[float]) -> None:
         with self.lock:
             self.queries += n
@@ -85,6 +93,7 @@ class RetrievalServer:
         port: int = 0,
         allow_shutdown: bool = False,
         max_queue: int = 4096,
+        pipeline_depth: int = 2,
     ):
         self.engine = engine
         self.tokenizer = tokenizer
@@ -94,6 +103,9 @@ class RetrievalServer:
         self.pairwise = pairwise
         self.allow_shutdown = allow_shutdown
         self.max_queue = max_queue
+        # batches concurrently in flight at the engine (1 = the sequential
+        # loop; 2 hides one device round trip behind the next collection)
+        self.pipeline_depth = max(1, int(pipeline_depth))
         self._host, self._requested_port = host, port
         self.port: Optional[int] = None
         self.stats = _Stats()
@@ -260,11 +272,15 @@ class RetrievalServer:
             pass  # client went away
 
     # -- batching ----------------------------------------------------------
-    def _take_batch(self) -> List[Tuple]:
+    def _take_batch(self, block: bool = True) -> List[Tuple]:
         """Block until work, then collect up to max_batch requests, waiting
         at most max_wait_ms past the first for stragglers.  On stop, returns
-        EVERYTHING still queued so the batch loop can refuse it explicitly."""
+        EVERYTHING still queued so the batch loop can refuse it explicitly.
+        ``block=False`` (batches in flight): return [] immediately when the
+        queue is empty, so the caller can finalize instead of stalling."""
         with self._queue_cv:
+            if not block and not self._queue:
+                return []
             while not self._queue and not self._stop.is_set():
                 self._queue_cv.wait(timeout=0.2)
             if self._stop.is_set():
@@ -299,22 +315,49 @@ class RetrievalServer:
         return terms
 
     def _batch_loop(self) -> None:
+        # Pipelined: dispatch batch i+1 to the engine BEFORE finalizing
+        # batch i, so host-side collection and the device round trip of
+        # consecutive micro-batches overlap.  Over a relayed TPU (~30 ms
+        # per transfer) the sequential loop paid dispatch+compute+fetch per
+        # batch; with ``pipeline_depth`` in flight that latency is hidden
+        # behind the next batch's collection (engine.score_batch_async).
+        pending: deque = deque()  # (finalize_fn, live)
         while True:
-            batch = self._take_batch()
             if self._stop.is_set():
-                # drain: refuse still-queued work explicitly instead of
-                # silently dropping it (a pipelined client would otherwise
-                # see a bare FIN for requests the daemon accepted)
+                # finish what the engine already accepted, then refuse the
+                # still-queued rest explicitly instead of silently dropping
+                # it (a pipelined client would otherwise see a bare FIN for
+                # requests the daemon accepted)
+                while pending:
+                    self._finalize(*pending.popleft())
+                batch = []
+                with self._queue_cv:
+                    batch = list(self._queue)
+                    self._queue.clear()
                 for conn, lock, req, _ in batch:
                     self._send(conn, lock, {"id": req.get("id"), "error": "shutting down"})
                 if batch:
                     with self.stats.lock:
                         self.stats.errors += len(batch)
                 return
+            with self._queue_cv:
+                have_queued = bool(self._queue)
+            if pending and (len(pending) >= self.pipeline_depth or not have_queued):
+                self._finalize(*pending.popleft())
+                continue
+            batch = self._take_batch(block=not pending)
+            if self._stop.is_set():
+                # _take_batch drained the queue on stop: hand its batch back
+                # so the shutdown branch above is the only refusal path
+                with self._queue_cv:
+                    self._queue.extendleft(reversed(batch))
+                continue
             if not batch:
                 continue
             try:
-                self._run_batch(batch)
+                item = self._dispatch_batch(batch)
+                if item is not None:
+                    pending.append(item)
             except Exception as e:  # the batch thread must never die: one
                 # malformed request or engine bug would otherwise hang every
                 # future query while ping/stats still answer (silent DoS)
@@ -324,7 +367,11 @@ class RetrievalServer:
                 with self.stats.lock:
                     self.stats.errors += len(batch)
 
-    def _run_batch(self, batch: List[Tuple]) -> None:
+    def _dispatch_batch(self, batch: List[Tuple]):
+        """Validate requests and hand the batch to the engine.  Returns
+        ``(finalize_fn, live)`` where ``finalize_fn() -> (results,
+        failed_shards)`` blocks on the engine, or None if nothing was
+        admitted."""
         term_sets, live, k = [], [], 1
         for conn, lock, req, t0 in batch:
             try:
@@ -338,14 +385,30 @@ class RetrievalServer:
                 with self.stats.lock:
                     self.stats.errors += 1
         if not live:
-            return
-        detailed = getattr(self.engine, "score_batch_detailed", None)
-        failed_shards: dict = {}
+            return None
+        engine = self.engine  # pin: a concurrent swap must not split a batch
+        detailed = getattr(engine, "score_batch_detailed", None)
+        async_fn = getattr(engine, "score_batch_async", None)
+        if detailed is not None:
+            fin = lambda: detailed(term_sets, k)  # noqa: E731
+        elif async_fn is not None:
+            try:
+                inner = async_fn(term_sets, k)  # dispatches NOW, fetch deferred
+            except Exception as e:
+                logger.error(f"score_batch_async dispatch failed: {e}")
+                for conn, lock, req, t0, _ in live:
+                    self._send(conn, lock, {"id": req.get("id"), "error": f"engine: {e}"})
+                with self.stats.lock:
+                    self.stats.errors += len(live)
+                return None
+            fin = lambda: (inner(), {})  # noqa: E731
+        else:
+            fin = lambda: (engine.score_batch(term_sets, k), {})  # noqa: E731
+        return fin, live
+
+    def _finalize(self, fin, live) -> None:
         try:
-            if detailed is not None:
-                results, failed_shards = detailed(term_sets, k)
-            else:
-                results = self.engine.score_batch(term_sets, k)
+            results, failed_shards = fin()
         except Exception as e:
             logger.error(f"score_batch failed: {e}")
             for conn, lock, req, t0, _ in live:

@@ -283,3 +283,42 @@ def test_prequantized_params_rejected():
 
     with pytest.raises(ValueError, match="no LoRA targets"):
         Doc2QueryFineTuner(quantize_params_int8(params), cfg, ByteTok())
+
+
+def test_chunked_loss_matches_full_logits_path():
+    """``layerwise_lm_loss`` (sequence-chunked head+CE — the 7B memory
+    path) must equal CE over the full logits tensor, loss AND adapter
+    grads, including when the chunk size doesn't divide the sequence."""
+    import dataclasses
+
+    from improving_learned_index_tpu.expand.finetune import (
+        layerwise_lm_logits,
+        layerwise_lm_loss,
+    )
+    from improving_learned_index_tpu.models.llama import LlamaConfig
+
+    cfg = dataclasses.replace(LlamaConfig.tiny(vocab_size=260), dtype="float32")
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    ft = Doc2QueryFineTuner(
+        params, cfg, ByteTok(), max_length=64, seed=3,
+        quantize_base="int8", layerwise=True,
+    )
+    batch = ft.make_batch(
+        [("dogs are loyal pets", "loyal dog"), ("foxes are quick", "quick fox")]
+    )
+    assert batch["input_ids"].shape[1] % 7 != 0  # chunk must not divide S
+
+    def full(lora):
+        logits = layerwise_lm_logits(cfg, ft.lora_config, lora, ft.base_params, batch)
+        return causal_lm_loss(logits, batch["labels"])
+
+    def chunked(lora):
+        return layerwise_lm_loss(cfg, ft.lora_config, lora, ft.base_params,
+                                 batch, chunk=7)
+
+    (l0, g0) = jax.value_and_grad(full)(ft.lora)
+    (l1, g1) = jax.value_and_grad(chunked)(ft.lora)
+    assert abs(float(l0) - float(l1)) < 1e-5, (l0, l1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)

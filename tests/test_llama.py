@@ -351,3 +351,41 @@ def test_tensor_parallel_sampling(cpu_devices):
     ref8 = sampler8.generate(params, ids, mask, seed=0)
     got8 = sampler8.generate(sharded, ids, mask, seed=0)
     np.testing.assert_array_equal(got8, ref8)
+
+
+def test_flash_attention_prefill_matches_xla():
+    """``use_flash_attention`` (Pallas online-softmax kernel — the
+    7B-finetune memory path) must match the XLA additive-bias attention on
+    logits at every non-padded position.  TPU-only: the stock kernel has no
+    interpret mode."""
+    import dataclasses
+
+    import pytest
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("pallas flash kernel is TPU-only")
+
+    cfg = dataclasses.replace(
+        LlamaConfig.tiny(vocab_size=260), num_heads=4, num_kv_heads=2,
+        hidden_size=512, dtype="float32",  # head_dim 128: kernel min block
+    )
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    B, S = 2, 256
+    ids = rng.integers(4, 250, (B, S)).astype(np.int32)
+    mask = np.ones((B, S), np.int32)
+    mask[0, 200:] = 0  # padded tail on row 0
+    ids[0, 200:] = 0
+
+    outs = {}
+    for flash in (False, True):
+        c = dataclasses.replace(cfg, use_flash_attention=flash)
+        logits, _ = LlamaModel(c).apply({"params": params}, ids, mask)
+        outs[flash] = np.asarray(logits)
+    # padded rows differ by design (flash: pads attend pads); real rows must agree
+    np.testing.assert_allclose(
+        outs[True][0, :200], outs[False][0, :200], rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        outs[True][1], outs[False][1], rtol=2e-3, atol=2e-3
+    )

@@ -321,3 +321,75 @@ def test_stop_drains_queue_with_explicit_errors():
     srv._batch_loop()  # sees stop, drains the queue with explicit errors
     assert sent == [{"id": 9, "error": "shutting down"}]
     assert not srv._queue and srv.stats.errors == 1
+
+
+def test_pipelined_batches_overlap_and_stay_correct():
+    """With an async-capable engine, the daemon dispatches batch i+1 before
+    finalizing batch i (pipeline_depth=2).  The overlap must be real
+    (concurrent dispatches observed) and every reply must still be exact
+    and correctly routed."""
+    import time as _time
+
+    inner = InvertedIndex(_index())
+    events = []  # (op, t) — appended under lock
+    elock = threading.Lock()
+
+    class AsyncEngine:
+        def score_batch_async(self, term_sets, k):
+            with elock:
+                events.append(("dispatch", _time.time()))
+            done = threading.Event()
+            out = {}
+
+            def work():
+                _time.sleep(0.05)  # device latency the loop should hide
+                out["r"] = inner.score_batch(term_sets, k)
+                done.set()
+
+            threading.Thread(target=work, daemon=True).start()
+
+            def finalize():
+                done.wait()
+                with elock:
+                    events.append(("finalize", _time.time()))
+                return out["r"]
+
+            return finalize
+
+        def score_batch(self, term_sets, k):
+            return self.score_batch_async(term_sets, k)()
+
+    srv = RetrievalServer(AsyncEngine(), top_k=5, max_batch=2, max_wait_ms=0.0)
+    assert srv.pipeline_depth == 2
+    srv.start()
+    try:
+        n, results = 12, {}
+        lock = threading.Lock()
+
+        def worker(i):
+            c = _Client(srv.port)
+            r = c.call({"id": i, "terms": ["apple", "cherry"]})
+            with lock:
+                results[i] = r
+            c.close()
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert len(results) == n
+        expect = [[int(d), float(s)]
+                  for d, s in inner.score_batch([{"apple", "cherry"}], 5)[0]]
+        for i in range(n):
+            assert results[i]["id"] == i and results[i]["results"] == expect
+        # overlap: some dispatch happened while an earlier batch was still
+        # unfinalized (strictly sequential would alternate d,f,d,f,...)
+        seq = [op for op, _ in events]
+        in_flight = mx = 0
+        for op in seq:
+            in_flight += 1 if op == "dispatch" else -1
+            mx = max(mx, in_flight)
+        assert mx >= 2, f"no overlap observed: {seq}"
+    finally:
+        srv.stop()
