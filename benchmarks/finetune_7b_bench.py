@@ -44,7 +44,7 @@ class SyntheticTok:
         return " ".join(str(i) for i in ids)
 
 
-def hbm_stats(device):
+def hbm_stats(device, ft=None, batch=None):
     try:
         st = device.memory_stats()
         return {
@@ -55,7 +55,26 @@ def hbm_stats(device):
             "bytes_limit_gb": round(st.get("bytes_limit", 0) / 2**30, 2),
         }
     except Exception:
-        return {"note": "memory_stats unavailable on this backend"}
+        pass
+    # remote backends (axon tunnel) expose no memory_stats; fall back to
+    # the XLA AOT analysis of the exact compiled step (same numbers the
+    # finetune_mem_probe reports, cached so this is cheap post-compile)
+    if ft is not None:
+        try:
+            ma = (ft._train_step.lower(ft.lora, ft.opt_state,
+                                       ft.base_params, batch)
+                  .compile().memory_analysis())
+            peak = (ma.argument_size_in_bytes + ma.output_size_in_bytes
+                    + ma.temp_size_in_bytes - ma.alias_size_in_bytes)
+            return {
+                "aot_args_gb": round(ma.argument_size_in_bytes / 2**30, 2),
+                "aot_temp_gb": round(ma.temp_size_in_bytes / 2**30, 2),
+                "aot_peak_gb": round(peak / 2**30, 2),
+                "note": "AOT memory_analysis (memory_stats unavailable)",
+            }
+        except Exception:
+            pass
+    return {"note": "memory_stats unavailable on this backend"}
 
 
 def main(argv=None) -> int:
@@ -216,25 +235,35 @@ def main(argv=None) -> int:
                     for k, v in batch.items()
                 }
             try:
+                # the train step donates (lora, opt_state): every call's
+                # inputs are consumed, so thread the outputs forward and
+                # write them back to ft after each batch size
                 t0 = time.time()
                 lora, opt_state, loss = ft._train_step(
                     ft.lora, ft.opt_state, ft.base_params, batch
                 )
-                jax.block_until_ready(loss)
+                # device_get, not block_until_ready: the axon remote
+                # backend returns from block_until_ready at dispatch time
+                # (observed: 0.008 s/step for a 7B fwd+bwd, 50x under the
+                # 197-TFLOP/s physics floor); a host transfer of the loss
+                # cannot complete before the step that produced it
+                first_loss = float(jax.device_get(loss))
                 compile_s = time.time() - t0
                 t0 = time.time()
                 for _ in range(args.steps):
                     lora, opt_state, loss = ft._train_step(
                         lora, opt_state, ft.base_params, batch
                     )
-                jax.block_until_ready(loss)
+                final_loss = float(jax.device_get(loss))
                 step_s = (time.time() - t0) / args.steps
+                ft.lora, ft.opt_state = lora, opt_state
                 per_batch[str(bsz)] = {
                     "compile_s": round(compile_s, 1),
                     "step_s": round(step_s, 3),
                     "tokens_per_s": round(bsz * args.max_length / step_s, 1),
-                    "loss": round(float(loss), 4),
-                    "hbm": hbm_stats(device),
+                    "loss": round(final_loss, 4),
+                    "first_loss": round(first_loss, 4),
+                    "hbm": hbm_stats(device, ft, batch),
                 }
             except Exception as e:
                 per_batch[str(bsz)] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}

@@ -13,6 +13,7 @@ finetune.py:84-96).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, Iterable, List, Optional, Tuple
 
 import jax
@@ -308,7 +309,11 @@ class Doc2QueryFineTuner:
             )
             return causal_lm_loss(logits, batch["labels"])
 
-        @jax.jit
+        # donate lora+opt_state: the updated trees alias the old buffers
+        # in-place instead of doubling adapter+Adam state in HBM (the
+        # un-donated outputs were a third copy of ~0.5 GB at 7B geometry,
+        # right at the 16 GB cliff)
+        @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(lora, opt_state, base_params, batch):
             loss, grads = jax.value_and_grad(loss_fn)(lora, base_params, batch)
             updates, opt_state = self.tx.update(grads, opt_state, lora)

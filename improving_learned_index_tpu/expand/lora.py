@@ -53,19 +53,37 @@ def _target_paths(params: Dict[str, Any], targets: Sequence[str]) -> List[Tuple]
     return paths
 
 
+def _factor_dims(shape: Sequence[int]) -> Tuple[int, int]:
+    """(in_dim, out_dim) for the 2-D matrix view of a possibly >2-D kernel.
+
+    Fused-head layouts differ in how many leading axes are contracted:
+    q/k/v kernels are [hidden, heads, head_dim] (one input axis), o_proj is
+    [heads, head_dim, hidden] (two).  The matrix view is the split that
+    BALANCES the factorization — picking axis 0 unconditionally turned
+    o_proj adapters into [heads, r] x [r, head_dim*hidden] (rank-16 across
+    32 heads, 64x the parameters: 1.1 GB of r=16 adapters at 7B, 4.3 GB at
+    r=64, which with AdamW state OOMed the fine-tune bench).  Minimizing
+    in_dim + out_dim recovers peft's [in_features, out_features] view for
+    every standard layout and keeps 2-D kernels unchanged."""
+    best = min(
+        range(1, len(shape)),
+        key=lambda k: int(np.prod(shape[:k])) + int(np.prod(shape[k:])),
+    )
+    return int(np.prod(shape[:best])), int(np.prod(shape[best:]))
+
+
 def init_lora_params(
     params: Dict[str, Any], config: LoraConfig, rng: jax.Array
 ) -> Dict[str, Any]:
     """A zero-initialized-B / gaussian-A adapter per target kernel.  Kernel
     shapes may be >2-D (fused head layouts); LoRA factors operate on the
-    2-D flattening [in, out]."""
+    2-D flattening [in, out] (see ``_factor_dims``)."""
     lora: Dict[str, Any] = {}
     for path in _target_paths(params, config.targets):
         leaf = params
         for k in path:
             leaf = leaf[k]
-        in_dim = leaf.shape[0]
-        out_dim = int(np.prod(leaf.shape[1:]))
+        in_dim, out_dim = _factor_dims(leaf.shape)
         rng, a_rng = jax.random.split(rng)
         node = lora
         for k in path[:-1]:

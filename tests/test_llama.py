@@ -265,6 +265,40 @@ def test_lora_zero_init_is_identity_and_merge_changes():
     np.testing.assert_allclose(got - base, expected_delta.reshape(base.shape), atol=1e-5)
 
 
+def test_lora_factors_on_matrix_view_not_leading_axis():
+    """>2-D kernels must factor on the balanced [in_features, out_features]
+    matrix view (peft semantics).  o_proj is [heads, head_dim, hidden]: a
+    leading-axis split makes lora_b [r, head_dim*hidden] — rank-r across the
+    tiny heads axis and 64x the adapter parameters at 7B geometry (1.1 GB at
+    r=16, OOM with AdamW state at r=64)."""
+    from improving_learned_index_tpu.expand.lora import _factor_dims
+
+    assert _factor_dims((4096, 32, 128)) == (4096, 4096)   # q/k/v layout
+    assert _factor_dims((32, 128, 4096)) == (4096, 4096)   # o_proj layout
+    assert _factor_dims((4096, 11008)) == (4096, 11008)    # 2-D unchanged
+
+    cfg = fp32(LlamaConfig.tiny())
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    lcfg = LoraConfig(r=4, alpha=8)
+    lora = init_lora_params(params, lcfg, jax.random.PRNGKey(1))
+    o_kernel = params["layer_0"]["attention"]["o_proj"]["kernel"]
+    node = lora["layer_0"]["attention"]["o_proj"]["kernel"]
+    n_in = o_kernel.shape[0] * o_kernel.shape[1]
+    assert node["lora_a"].shape == (n_in, lcfg.r)
+    assert node["lora_b"].shape == (lcfg.r, o_kernel.shape[2])
+
+    # merge applies the delta on the matrix view, reshaped back exactly
+    node["lora_b"] = jnp.ones_like(node["lora_b"])
+    merged = merge_lora(params, lora, lcfg)
+    delta = (np.asarray(node["lora_a"]) @ np.asarray(node["lora_b"])) * lcfg.scaling
+    np.testing.assert_allclose(
+        np.asarray(merged["layer_0"]["attention"]["o_proj"]["kernel"])
+        - np.asarray(o_kernel),
+        delta.reshape(o_kernel.shape),
+        atol=1e-5,
+    )
+
+
 def test_param_specs_cover_tree():
     from jax.sharding import PartitionSpec as P
 
