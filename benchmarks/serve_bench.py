@@ -73,6 +73,11 @@ def main(argv=None) -> int:
     parser.add_argument("--hot_swap", action="store_true",
                         help="swap_engine mid-run under full client load; "
                         "report the latency blip around the swap")
+    parser.add_argument("--inflight", type=int, default=1,
+                        help="requests each client keeps outstanding "
+                        "(1 = strict request/response; >1 models a frontend "
+                        "multiplexing many users over one connection, which "
+                        "lets the daemon form full batches and pipeline)")
     parser.add_argument("--out", type=Path, default=Path(__file__).parent / "SERVE_BENCH.json")
     args = parser.parse_args(argv)
 
@@ -101,7 +106,14 @@ def main(argv=None) -> int:
         for _ in range(args.n_queries)
     ]
 
-    # warmup (hybrid: jit compile of the serving batch shape)
+    # warmup (hybrid: jit compile of the serving batch shape).  The full
+    # shape-lattice warmup is what cli.serve runs at startup; without it,
+    # bucket combos first hit by live traffic are mid-request compile
+    # stalls in the measured p99 (round-3 run: p99 2790ms vs p50 43ms).
+    t_w = time.time()
+    warm_combos = (engine.warmup(max_batch=args.max_batch, top_k=10)
+                   if hasattr(engine, "warmup") else 0)
+    engine_warmup_s = time.time() - t_w
     engine.score_batch([set(q) for q in queries[: args.max_batch]], 10)
 
     # direct baseline: same batches the daemon would form
@@ -143,12 +155,22 @@ def main(argv=None) -> int:
         f = sock.makefile("rb")
         mine = queries[cid * per_client : (cid + 1) * per_client]
         my_lat = []
-        for i, q in enumerate(mine):
-            t = time.time()
-            sock.sendall((json.dumps({"id": i, "terms": q}) + "\n").encode())
+        # sliding window of --inflight outstanding requests
+        sent_at = {}
+        next_i = 0
+        while next_i < len(mine) and len(sent_at) < args.inflight:
+            sent_at[next_i] = time.time()
+            sock.sendall((json.dumps({"id": next_i, "terms": mine[next_i]}) + "\n").encode())
+            next_i += 1
+        while sent_at:
             resp = json.loads(f.readline())
             assert "results" in resp, resp
-            my_lat.append((time.time(), (time.time() - t) * 1e3))
+            now = time.time()
+            my_lat.append((now, (now - sent_at.pop(resp["id"])) * 1e3))
+            if next_i < len(mine):
+                sent_at[next_i] = time.time()
+                sock.sendall((json.dumps({"id": next_i, "terms": mine[next_i]}) + "\n").encode())
+                next_i += 1
         with lock:
             lat.extend(my_lat)
         sock.close()
@@ -192,6 +214,8 @@ def main(argv=None) -> int:
                   "build_and_engine_init_s": round(build_s, 1)},
         "n_queries": n,
         "clients": args.clients,
+        "inflight_per_client": args.inflight,
+        "engine_warmup": {"combos": warm_combos, "seconds": round(engine_warmup_s, 1)},
         "warmup_s": round(warm_s, 1),
         "pipeline_depth": srv.pipeline_depth,
         "direct_q_per_s": round(len(queries) / direct_s, 1),

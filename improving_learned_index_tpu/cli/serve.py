@@ -16,7 +16,7 @@ from pathlib import Path
 
 from ..search.select import build_engine
 from ..serve import RetrievalServer
-from .common import add_model_args, build_tokenizer
+from .common import add_model_args, build_tokenizer, enable_compilation_cache
 
 
 def main(argv=None) -> int:
@@ -57,6 +57,8 @@ def main(argv=None) -> int:
 
     if (args.index_path is None) == (args.shards is None):
         parser.error("need exactly one of --index_path or --shards")
+    # a daemon restart must replay warmup compiles from disk, not the relay
+    enable_compilation_cache()
     if args.shards:
         from ..serve.router import RemoteShardedEngine
 
@@ -77,11 +79,18 @@ def main(argv=None) -> int:
     if args.vocab_path or args.hf_tokenizer:
         tokenizer = build_tokenizer(args)
     if not args.no_warmup:
-        # compile the serving batch shape before accepting traffic
-        vocab = getattr(engine, "vocab", None)
-        terms = {next(iter(vocab))} if vocab else {"warmup"}
-        engine.score_batch([terms] * args.max_batch, min(args.top_k, 10))
-        print("warmup batch done")
+        if hasattr(engine, "warmup"):
+            # compile the engine's whole serving shape lattice before
+            # accepting traffic — a bucket combo first seen in live traffic
+            # is a mid-request compile stall (hybrid_engine.warmup)
+            n = engine.warmup(max_batch=args.max_batch, top_k=args.top_k)
+            print(f"warmup done: {n} shape combos compiled")
+        else:
+            # compile the serving batch shape before accepting traffic
+            vocab = getattr(engine, "vocab", None)
+            terms = {next(iter(vocab))} if vocab else {"warmup"}
+            engine.score_batch([terms] * args.max_batch, min(args.top_k, 10))
+            print("warmup batch done")
     server = RetrievalServer(
         engine,
         tokenizer=tokenizer,

@@ -604,6 +604,99 @@ class HybridSearchEngine:
             heavy_rows,
         )
 
+    def warmup(
+        self,
+        max_batch: int = 64,
+        top_k: Optional[int] = None,
+        max_chunks: int = 4096,
+    ) -> int:
+        """Pre-compile the serving shape lattice; returns compile-call count.
+
+        ``score_batch_async`` buckets its operands — query count to the next
+        power of two (base 8), the tail chunk table to the next power of two
+        (base 16) — so each bucket combination that first appears in LIVE
+        traffic pays its XLA compile mid-request.  On the round-3 TPU serve
+        bench that put multi-second compile stalls in the measured tail
+        (p99 2.8s vs p50 43ms, benchmarks/SERVE_BENCH_TPU.json) even after a
+        traffic-shaped warmup, because client-arrival jitter makes the set
+        of live bucket combos unpredictable.  This compiles the whole
+        lattice up front: every nq bucket up to ``max_batch`` crossed with
+        every chunk bucket up to ``max_chunks`` (dense+tail, the shape any
+        mixed query batch takes) plus the no-tail variant per nq bucket.
+        Calls execute on zero tables (a zero-length chunk scatters nothing),
+        so cost is one device pass per combo; with the persistent
+        compilation cache enabled, restarts replay from disk.
+
+        Which dense/tail variants get warmed follows the index: an engine
+        with no heavy terms (small corpora never reach ``heavy_min``) takes
+        the tail-only shape on EVERY query, so that is what gets compiled;
+        with heavy rows present, dense+tail and dense-only are the live
+        shapes and the all-tail variant (no query term heavy — rare under
+        Zipf) is left to compile on first use, as are per-request ``k``
+        overrides outside ``top_k``.  The opt-in Pallas path has extra
+        operand buckets (hit-row and pair tables); for it this warms one
+        representative combo per nq bucket and leaves the rest to the disk
+        cache.
+        """
+        if top_k is None:
+            top_k = self.config.top_k
+        k = min(top_k, self.num_docs)
+        nq_buckets = []
+        b = 8
+        while b < _bucket(max_batch, base=8):
+            nq_buckets.append(b)
+            b *= 2
+        nq_buckets.append(b)
+        c_buckets = []
+        c = 16
+        while c < _bucket(max(max_chunks, 1)):
+            c_buckets.append(c)
+            c *= 2
+        c_buckets.append(c)
+
+        w0 = jnp.zeros((1, max(self.t_heavy, 1)), jnp.bfloat16)
+        calls = []
+        for nq in nq_buckets:
+            w = jnp.broadcast_to(w0, (nq, w0.shape[1]))
+            if self._pallas:
+                # one representative Pallas combo per nq bucket (gather rows
+                # sized for this batch); XLA combos below stay the fallback
+                from ..ops.gather_rows import can_use_pallas_gather
+
+                h_b = _bucket(min(nq * 8, max(self.t_heavy, 1)), base=64)
+                if can_use_pallas_gather(self.n_pad, nq, h_b):
+                    calls.append(_score_and_topk_pallas(
+                        self.dense, w,
+                        jnp.zeros(h_b, jnp.int32),
+                        jnp.zeros((h_b, 2), jnp.int32),
+                        jnp.zeros(2, jnp.int32),
+                        self.doc_ids, self.impacts,
+                        jnp.zeros(16, jnp.int32), jnp.zeros(16, jnp.int32),
+                        jnp.zeros(16, jnp.int32),
+                        nq, self.num_docs, k,
+                        "gather", "pallas",
+                        self.config.approx_top_k, self._pallas_interpret,
+                    ))
+            use_dense = self.t_heavy > 0
+            for cb in c_buckets:
+                z = jnp.zeros(cb, jnp.int32)
+                calls.append(_score_and_topk(
+                    self.dense, w, self.doc_ids, self.impacts, z, z, z,
+                    self.num_docs, k, use_dense, True,
+                    self.config.approx_top_k, self.integer_scores,
+                ))
+            if use_dense:
+                calls.append(_score_and_topk(
+                    self.dense, w, self.doc_ids, self.impacts,
+                    jnp.zeros(16, jnp.int32), jnp.zeros(16, jnp.int32),
+                    jnp.zeros(16, jnp.int32),
+                    self.num_docs, k, True, False,
+                    self.config.approx_top_k, self.integer_scores,
+                ))
+        for out in calls:
+            out.block_until_ready()
+        return len(calls)
+
     def _log_pallas_fallback(self) -> None:
         """Degrade to the XLA scoring path permanently for this engine."""
         import logging

@@ -351,3 +351,54 @@ def test_expand_tail_chunks_matches_loop():
                 a += chunk
         got = list(zip(cs.tolist(), cl.tolist(), cr.tolist()))
         assert got == exp, f"trial {trial}"
+
+
+def test_warmup_covers_live_traffic_shapes():
+    """After warmup(max_batch, top_k), live batches of ANY size <= max_batch
+    and any mixed heavy/tail term draw must not trigger a new jit compile
+    of the XLA scoring fn (new bucket combos mid-request were the p99
+    compile stalls in the round-3 TPU serve bench)."""
+    from improving_learned_index_tpu.search import hybrid_engine as he
+
+    rng = np.random.default_rng(11)
+    index = _random_index(rng, num_docs=400, vocab_size=50, postings=5000)
+    engine = HybridSearchEngine(index, heavy_min=64)
+    assert engine.t_heavy > 0, "fixture must have both heavy and tail terms"
+    # small lattice: CPU compiles are ~10s per combo, so the test caps the
+    # chunk buckets at what its own live batches below can produce
+    # (16 queries x 6 tail terms x 1 chunk each -> <= 96 -> bucket 128)
+    n = engine.warmup(max_batch=16, top_k=10, max_chunks=128)
+    assert n > 0
+    size_after_warmup = he._score_and_topk._cache_size()
+
+    host = InvertedIndex(index)
+    vocab = list(engine.vocab)
+    for nq in (1, 3, 8, 9, 16):
+        batch = [
+            {vocab[i] for i in rng.choice(len(vocab), size=6, replace=False)}
+            for _ in range(nq)
+        ]
+        got = engine.score_batch(batch, 10)
+        want = host.score_batch(batch, 10)
+        for g, w in zip(got, want):
+            _assert_topk_equivalent(g, w, 10)
+    assert he._score_and_topk._cache_size() == size_after_warmup
+
+    # an engine with NO heavy terms takes the tail-only shape on every
+    # query — warmup must cover that variant instead (found live: a small
+    # index's daemon warmed the dense shapes, then every real query
+    # compiled mid-request)
+    engine2 = HybridSearchEngine(index, heavy_min=10**9)
+    assert engine2.t_heavy == 0
+    engine2.warmup(max_batch=16, top_k=10, max_chunks=128)
+    size_after_warmup = he._score_and_topk._cache_size()
+    for nq in (1, 16):
+        batch = [
+            {vocab[i] for i in rng.choice(len(vocab), size=6, replace=False)}
+            for _ in range(nq)
+        ]
+        got = engine2.score_batch(batch, 10)
+        want = host.score_batch(batch, 10)
+        for g, w in zip(got, want):
+            _assert_topk_equivalent(g, w, 10)
+    assert he._score_and_topk._cache_size() == size_after_warmup
