@@ -174,23 +174,35 @@ def main(argv=None) -> int:
             assert rc == 0
             return time.time() - t0
 
+        # i % eval_every == 0 fires at i=0 too (reference semantics,
+        # trainer.py:133): 0, eval_every, 2*eval_every, ...
+        evals = total_steps // args.eval_every + 1
         with_eval_s = train_run(["--nano_beir_dir", str(args.workdir)],
                                 "ckpt_eval")
+        # second identical run: the eval batch shapes are compiled now, so
+        # this is the steady-state in-train cadence a long training run pays
+        warm_with_eval_s = train_run(["--nano_beir_dir", str(args.workdir)],
+                                     "ckpt_eval2")
         without_eval_s = train_run(["--no_beir_eval"], "ckpt_noeval")
         train_section = {
             "cli_train_total_steps": total_steps,
             "eval_every": args.eval_every,
-            "evals_fired": 2,
+            "evals_fired": evals,
             "with_eval_seconds": round(with_eval_s, 2),
+            "warm_with_eval_seconds": round(warm_with_eval_s, 2),
             "without_eval_seconds": round(without_eval_s, 2),
-            "stall_per_eval_seconds": round(
-                (with_eval_s - without_eval_s) / 2, 2
+            "stall_per_eval_cold_seconds": round(
+                (with_eval_s - without_eval_s) / evals, 2
             ),
-            "note": "first in-train eval pays jit compiles for the eval "
-                    "batch shapes; the standalone steady-state number is "
-                    "evaluate_all_steady_seconds",
+            "stall_per_eval_seconds": round(
+                (warm_with_eval_s - without_eval_s) / evals, 2
+            ),
+            "note": "cold = first run in the process (in-train evals pay "
+                    "jit compiles for the eval batch shapes); steady = "
+                    "second identical run, shapes compiled",
         }
         print(f"[cli.train] with_eval={with_eval_s:.1f}s "
+              f"warm={warm_with_eval_s:.1f}s "
               f"without={without_eval_s:.1f}s", flush=True)
 
     report = {
