@@ -13,7 +13,12 @@ Two modes:
 
     python benchmarks/serve_bench.py [--n_queries 2000] [--clients 16]
     python benchmarks/serve_bench.py --engine hybrid --num_docs 1000000 \
-        --postings_per_doc 20 --hot_swap --out SERVE_BENCH_TPU.json
+        --vocab 100000 --postings_per_doc 6 --hot_swap \
+        --out SERVE_BENCH_TPU.json
+
+(keep --vocab scaled with --num_docs: the default 2k vocab over 1M docs
+duplicates (term, doc) pairs heavily, which forces the engine's fp32
+dense rebuild and doubles its HBM — two such engines OOM a 16GB chip)
 """
 
 from __future__ import annotations
