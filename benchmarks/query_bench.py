@@ -149,20 +149,28 @@ def main():
         if name in (
             "hybrid", "hybrid_approx", "hybrid_pipelined",
             "hybrid_pallas", "hybrid_pallas_pipelined",  # opt-in Pallas kernels (A/B)
+            "hybrid_part", "hybrid_part_pipelined",      # sort-free partitioned tail (A/B)
+            "hybrid_nopart", "hybrid_nopart_pipelined",  # force sorted/flat tail (A/B)
         ):
             from improving_learned_index_tpu.core.config import SearchConfig
             from improving_learned_index_tpu.search.hybrid_engine import HybridSearchEngine
 
             cfg = SearchConfig(approx_top_k=(name == "hybrid_approx"))
+            part = None
+            if name.startswith("hybrid_part"):
+                part = True
+            elif name.startswith("hybrid_nopart"):
+                part = False
             t0 = time.time()
             eng = HybridSearchEngine(
                 index, config=cfg, heavy_min=1024,
                 dense_budget_bytes=int(args.dense_budget_gb * (1 << 30)),
                 use_pallas=name.startswith("hybrid_pallas"),
+                tail_partitioned=part,
             )
             print(
                 f"{name}: init {time.time()-t0:.1f}s, {eng.t_heavy} dense rows"
-                f" (pallas={eng._pallas})",
+                f" (pallas={eng._pallas}, partitioned={eng._tail_partitioned})",
                 file=sys.stderr,
             )
             if name.endswith("pipelined"):
@@ -187,6 +195,8 @@ def main():
                 r = time_engine(lambda: eng.score_batch(queries, TOPK), name)
                 if name == "hybrid":
                     baseline_results["hybrid"] = eng.score_batch(queries, TOPK)
+                elif name == "hybrid_part":
+                    baseline_results["hybrid_part"] = eng.score_batch(queries, TOPK)
             del eng
         elif name == "device":
             from improving_learned_index_tpu.search.device_engine import DeviceSearchEngine
@@ -219,6 +229,12 @@ def main():
         else:
             raise SystemExit(f"unknown engine {name}")
         results.append(r)
+
+    # Partitioned tail must match the default hybrid engine rank-by-rank.
+    if "hybrid" in baseline_results and "hybrid_part" in baseline_results:
+        for a, b in zip(baseline_results["hybrid"], baseline_results["hybrid_part"]):
+            assert [s for _, s in a] == [s for _, s in b], "partitioned score mismatch"
+        print("hybrid_part exact == hybrid scores at every rank", file=sys.stderr)
 
     # Cross-check exactness if both TPU-exact and native ran.
     if "hybrid" in baseline_results and "native" in baseline_results:

@@ -36,6 +36,11 @@ def main(argv=None) -> int:
                         help="hybrid engine: opt into the Pallas gather/"
                         "scatter scoring kernels (TPU only; exact; pending "
                         "a stress pass before becoming the default)")
+    parser.add_argument("--tail_partitioned", action="store_true", default=None,
+                        help="hybrid engine: doc-partition tail postings at "
+                        "load so scoring never sorts (auto-on >= 4M docs)")
+    parser.add_argument("--no_tail_partitioned", dest="tail_partitioned",
+                        action="store_false")
     args = parser.parse_args(argv)
 
     ranker = Ranker(
@@ -51,6 +56,7 @@ def main(argv=None) -> int:
         approx_top_k=args.approx_top_k,
         dense_budget_bytes=int(args.dense_budget_gb * (1 << 30)),
         use_pallas=args.use_pallas,
+        tail_partitioned=args.tail_partitioned,
     )
     n = ranker.run()
     print(f"ranked {n} queries -> {args.output_path}")

@@ -48,6 +48,11 @@ def main(argv=None) -> int:
     parser.add_argument("--pairwise", action="store_true")
     parser.add_argument("--dense_budget_gb", type=float, default=4.0)
     parser.add_argument("--use_pallas", action="store_true")
+    parser.add_argument("--tail_partitioned", action="store_true", default=None,
+                        help="hybrid engine: doc-partition tail postings at "
+                        "load so scoring never sorts (auto-on >= 4M docs)")
+    parser.add_argument("--no_tail_partitioned", dest="tail_partitioned",
+                        action="store_false")
     parser.add_argument("--allow_remote_shutdown", action="store_true",
                         help="honor {\"op\": \"shutdown\"} requests")
     parser.add_argument("--no_warmup", action="store_true",
@@ -73,6 +78,7 @@ def main(argv=None) -> int:
             engine=args.engine,
             dense_budget_bytes=int(args.dense_budget_gb * (1 << 30)),
             use_pallas=args.use_pallas,
+            tail_partitioned=args.tail_partitioned,
             num_docs=args.num_docs,
         )
     tokenizer = None

@@ -37,6 +37,7 @@ class Ranker:
         approx_top_k: bool = False,
         dense_budget_bytes: int = 4 << 30,
         use_pallas: bool = False,  # opt-in hybrid-engine Pallas kernels
+        tail_partitioned=None,     # hybrid engine: sort-free tail (auto >= 4M docs)
     ):
         self.queries = Queries(queries_path, dataset_type=dataset_type)
         self.query_ids = list(self.queries.keys())
@@ -55,6 +56,7 @@ class Ranker:
             approx_top_k=approx_top_k,
             dense_budget_bytes=dense_budget_bytes,
             use_pallas=use_pallas,
+            tail_partitioned=tail_partitioned,
         )
         self.run_file = RunFile(output_path)
 

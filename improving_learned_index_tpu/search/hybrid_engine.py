@@ -155,6 +155,60 @@ def _apply_tail_tiled(scores, d, v, r, valid):
     return jax.lax.fori_loop(0, n_tiles, tile_body, scores)
 
 
+def _apply_tail_partitioned(scores, d, v, r, tile_bounds):
+    """Tile sweep over host-pre-partitioned updates — no per-batch sort.
+
+    Same VMEM-tile-resident apply as ``_apply_tail_tiled``, but the per-tile
+    update ranges arrive from the host: when the index's tail postings are
+    doc-sorted within each term at load time (``_partition_tail_by_doc``),
+    query prep splits every term's posting range at 64k-doc tile boundaries
+    with one table lookup, orders the chunk table by tile, and hands the
+    flat gathered stream's tile boundaries straight to this sweep.  The
+    device sort of E updates — the dominant scatter cost at MSMARCO posting
+    density (738ms/batch at 388M postings, benchmarks/INDEX_BUILD_8M8.json)
+    — disappears entirely; what remains is one read+write pass over the
+    score matrix plus the masked on-tile windows.
+
+    ``tile_bounds``: int32 [n_tiles + 1] positions into the flat update
+    stream, chunk-aligned (multiples of TAIL_CHUNK).  Real entries inside a
+    tile's range are in that tile by construction; chunk-padding entries
+    carry v == 0 and an arbitrary doc (the gather clamps their position to
+    0), so their index is clamped into the tile and they add zero.
+    """
+    q, n_pad = scores.shape
+    n_tiles = n_pad // _SCATTER_TILE
+    zpad = jnp.zeros(_SCATTER_WIN, jnp.int32)
+    d = jnp.concatenate([d, zpad])
+    r = jnp.concatenate([r, zpad])
+    v = jnp.concatenate([v, zpad.astype(v.dtype)])
+
+    def tile_body(t, scores):
+        lo = tile_bounds[t]
+        hi = tile_bounds[t + 1]
+        tile = jax.lax.dynamic_slice(scores, (0, t * _SCATTER_TILE), (q, _SCATTER_TILE))
+
+        def win_cond(state):
+            j, _ = state
+            return lo + j * _SCATTER_WIN < hi
+
+        def win_body(state):
+            j, tile = state
+            s0 = lo + j * _SCATTER_WIN
+            dd = jax.lax.dynamic_slice(d, (s0,), (_SCATTER_WIN,))
+            vv = jax.lax.dynamic_slice(v, (s0,), (_SCATTER_WIN,))
+            rr = jax.lax.dynamic_slice(r, (s0,), (_SCATTER_WIN,))
+            ok = s0 + jnp.arange(_SCATTER_WIN, dtype=jnp.int32) < hi
+            dd = jnp.clip(dd - t * _SCATTER_TILE, 0, _SCATTER_TILE - 1)
+            vv = jnp.where(ok, vv, 0.0)
+            rr = jnp.where(ok, rr, 0)
+            return j + 1, tile.at[rr, dd].add(vv)
+
+        _, tile = jax.lax.while_loop(win_cond, win_body, (jnp.int32(0), tile))
+        return jax.lax.dynamic_update_slice(scores, tile, (0, t * _SCATTER_TILE))
+
+    return jax.lax.fori_loop(0, n_tiles, tile_body, scores)
+
+
 def build_dense_rows(
     doc_ids,
     impacts,
@@ -357,7 +411,7 @@ def _score_and_topk_pallas(
     return _finish_topk(scores, num_docs, top_k, approx, True)
 
 
-@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12))
+@partial(jax.jit, static_argnums=(8, 9, 10, 11, 12, 13, 14))
 def _score_and_topk(
     dense: jnp.ndarray,      # [T_h, N_pad] bf16 dense heavy rows
     w: jnp.ndarray,          # [Q, T_h] bf16 one-hot heavy query terms
@@ -366,12 +420,14 @@ def _score_and_topk(
     starts: jnp.ndarray,     # [C] int32 tail chunk starts
     lengths: jnp.ndarray,    # [C] int32 tail chunk lengths
     rows: jnp.ndarray,       # [C] int32 tail chunk query row
+    tile_bounds: jnp.ndarray,  # [n_tiles + 1] int32 (partitioned mode; [1] dummy otherwise)
     num_docs: int,
     top_k: int,
     use_dense: bool,
     use_tail: bool,
     approx: bool,
     integer_scores: bool = True,
+    tail_partitioned: bool = False,
 ):
     q = w.shape[0]
     n_pad = dense.shape[1]
@@ -393,7 +449,9 @@ def _score_and_topk(
 
     if use_tail:
         d, v, r, valid = _gather_tail(doc_ids, impacts, starts, lengths, rows)
-        if n_pad >= _TILED_MIN_DOCS and n_pad % _SCATTER_TILE == 0:
+        if tail_partitioned:
+            scores = _apply_tail_partitioned(scores, d, v, r, tile_bounds)
+        elif n_pad >= _TILED_MIN_DOCS and n_pad % _SCATTER_TILE == 0:
             scores = _apply_tail_tiled(scores, d, v, r, valid)
         else:
             # small corpora: the whole scores operand is VMEM-resident, the
@@ -414,6 +472,7 @@ class HybridSearchEngine:
         dense_budget_bytes: int = 4 << 30,
         integer_scores: bool = True,
         use_pallas: Optional[bool] = None,
+        tail_partitioned: Optional[bool] = None,
     ):
         self.config = config
         # True for quantized indexes (scores are exact small-integer sums:
@@ -505,6 +564,38 @@ class HybridSearchEngine:
         self.term_start[heavy_tids] = heavy_starts[:-1]
         self.term_len = lengths
 
+        # Partitioned tail: doc-sort each tail term's in-HBM postings once at
+        # load so per-batch scoring never sorts (see _apply_tail_partitioned).
+        # Its chunks are TAIL_CHUNK-slot windows per (term, 64k-doc tile), so
+        # it only pays when tail lists are LONG relative to the tile count:
+        # auto-gate on the posting-weighted mean tail-list length per tile
+        # (the expected segment length seen by a random tail posting).
+        # Measured both ways on v5e-1: at 8.8M docs / 40M postings / 100k
+        # vocab (~3-posting segments, 99% chunk padding) partitioned is ~5x
+        # SLOWER than the sorted tiled scatter (59 vs 312 q/s pipelined);
+        # the win case is full chunks — long mid-frequency lists, the
+        # 388M-posting MSMARCO store density.  Also requires the tiled
+        # regime (>= _TILED_MIN_DOCS; flat scatter wins below, 417 vs 341
+        # q/s sync at 1M docs) and never combines with the Pallas tail
+        # kernel, which sorts internally.
+        if tail_partitioned is None:
+            n_tiles = self.n_pad // _SCATTER_TILE
+            tail_lens = lengths[~is_heavy].astype(np.float64)
+            p_tail = tail_lens.sum()
+            wavg = float((tail_lens**2).sum() / p_tail) if p_tail else 0.0
+            tail_partitioned = (
+                self.num_docs >= _TILED_MIN_DOCS and wavg / n_tiles >= TAIL_CHUNK
+            )
+        self._tail_partitioned = bool(
+            tail_partitioned
+            and not self._pallas
+            and self.n_pad % _SCATTER_TILE == 0
+            and n_postings > p_heavy
+        )
+        self._tail_bounds_rel: Optional[np.ndarray] = None
+        if self._tail_partitioned:
+            self._tail_bounds_rel = self._partition_tail_by_doc(doc_ids, impacts)
+
         has = n_postings > 0
         self.doc_ids = jax.device_put(
             doc_ids.astype(np.int32) if has else np.zeros(1, np.int32)
@@ -531,6 +622,58 @@ class HybridSearchEngine:
             chunk_rows=self._DENSE_CHUNK_ROWS,
             force_fp32=not self.integer_scores,
         )
+
+    def _partition_tail_by_doc(
+        self, doc_ids: np.ndarray, impacts: np.ndarray, block: int = 32 << 20
+    ) -> np.ndarray:
+        """Doc-sort every tail term's postings in place; return the per-term
+        tile-boundary table (uint32 positions relative to term_start).
+
+        Posting order inside one term's list is free for scoring — the
+        reference accumulates a per-doc sum (inverted_index.py:55-62); the
+        impact-descending order only matters in the serialized .dat, which
+        this in-HBM copy never writes back.  Trading it for doc order turns
+        the per-batch device sort in _apply_tail_tiled into this one-time
+        host pass: query prep splits each term's range at 64k-doc tile
+        boundaries with one row lookup in the returned table.
+
+        Consecutive tail terms are processed in ~``block``-posting slabs via
+        one composite-key stable argsort per slab, so peak extra host RAM is
+        ~16B x block regardless of index size (cf. the chunked quantize /
+        streaming invert, index/inverted.py)."""
+        n_tiles = self.n_pad // _SCATTER_TILE
+        n_terms = len(self.term_len)
+        bounds = np.zeros((n_terms, n_tiles + 1), dtype=np.uint32)
+        tail_tids = np.nonzero(~self.is_heavy & (self.term_len > 0))[0]
+        if not len(tail_tids):
+            return bounds
+        lens = self.term_len[tail_tids].astype(np.int64)
+        cum = np.cumsum(lens)
+        grp = np.searchsorted(cum, np.arange(0, int(cum[-1]) + block, block))
+        grp = np.unique(np.concatenate([grp, [len(tail_tids)]]))
+        probes_t = np.arange(n_tiles + 1, dtype=np.int64) * _SCATTER_TILE
+        n_pad = np.int64(self.n_pad)
+        for g0, g1 in zip(grp[:-1], grp[1:]):
+            tids = tail_tids[g0:g1]
+            if not len(tids):
+                continue
+            tlens = self.term_len[tids].astype(np.int64)
+            lo = int(self.term_start[tids[0]])
+            hi = int(self.term_start[tids[-1]] + tlens[-1])
+            tl = np.repeat(np.arange(len(tids), dtype=np.int64), tlens)
+            key = tl * n_pad + doc_ids[lo:hi]
+            order = np.argsort(key, kind="stable")
+            key = key[order]
+            doc_ids[lo:hi] = doc_ids[lo:hi][order]
+            impacts[lo:hi] = impacts[lo:hi][order]
+            probes = (
+                np.arange(len(tids), dtype=np.int64)[:, None] * n_pad
+                + probes_t[None, :]
+            )
+            b = np.searchsorted(key, probes.ravel()).reshape(len(tids), -1)
+            offs = np.concatenate([[0], np.cumsum(tlens)[:-1]])
+            bounds[tids] = (b - offs[:, None]).astype(np.uint32)
+        return bounds
 
     @classmethod
     def from_term_impacts(
@@ -568,12 +711,18 @@ class HybridSearchEngine:
         )
 
     def _tables(self, query_term_sets: Sequence[Set[str]]):
-        """Host-side prep: heavy one-hot W + tail chunk table.
+        """Host-side prep: heavy one-hot W + tail chunk table (+ tile bounds).
 
         Vectorized: the only Python-loop work left is one dict lookup per
         query term; the per-term chunk expansion is numpy
         (``expand_tail_chunks``), so host prep stays a few percent of batch
-        latency at serving batch sizes (benchmarks/host_prep_bench.py)."""
+        latency at serving batch sizes (benchmarks/host_prep_bench.py).
+
+        Returns (w, chunk_starts, chunk_lengths, chunk_rows, heavy_q,
+        heavy_rows, tile_bounds); ``tile_bounds`` is None unless the engine
+        runs the partitioned tail, in which case the chunk table is grouped
+        by 64k-doc tile and ``tile_bounds`` marks each tile's range in the
+        flat gathered update stream."""
         nq = len(query_term_sets)
         w = np.zeros((nq, max(self.t_heavy, 1)), dtype=np.float32)
         qs: List[int] = []
@@ -587,7 +736,8 @@ class HybridSearchEngine:
                     tids.append(tid)
         empty = np.empty(0, np.int32)
         if not tids:
-            return w, empty, empty.copy(), empty.copy(), empty.copy(), empty.copy()
+            e = (empty, empty.copy(), empty.copy(), empty.copy(), empty.copy())
+            return (w, *e, self._empty_tile_bounds())
         q_arr = np.asarray(qs, dtype=np.int64)
         tid_arr = np.asarray(tids, dtype=np.int64)
         hrow = self.heavy_row_arr[tid_arr]
@@ -596,12 +746,54 @@ class HybridSearchEngine:
         heavy_rows = hrow[heavy]
         w[heavy_q, heavy_rows] = 1.0
         t_q, t_tid = q_arr[~heavy], tid_arr[~heavy]
+        if self._tail_partitioned:
+            cs, cl, crow, cb = self._tail_tables_partitioned(t_q, t_tid)
+            return w, cs, cl, crow, heavy_q, heavy_rows, cb
         starts = self.term_start[t_tid]
         return (
             w,
             *expand_tail_chunks(starts, starts + self.term_len[t_tid], t_q, TAIL_CHUNK),
             heavy_q,
             heavy_rows,
+            None,
+        )
+
+    def _empty_tile_bounds(self) -> Optional[np.ndarray]:
+        if not self._tail_partitioned:
+            return None
+        return np.zeros(self.n_pad // _SCATTER_TILE + 1, np.int32)
+
+    def _tail_tables_partitioned(self, t_q: np.ndarray, t_tid: np.ndarray):
+        """Chunk table for the partitioned tail: split each query term's
+        doc-sorted posting range at tile boundaries (one row lookup in
+        ``_tail_bounds_rel``), order chunks by tile, and return the flat
+        tile bounds.  The (query row, tile) pair rides through
+        ``expand_tail_chunks`` as one packed label."""
+        n_tiles = self.n_pad // _SCATTER_TILE
+        if not len(t_tid):
+            chunks = (np.empty(0, np.int32),) * 3
+            return (*chunks, np.zeros(n_tiles + 1, np.int32))
+        rel = self._tail_bounds_rel[t_tid].astype(np.int64)  # [K, n_tiles+1]
+        base = self.term_start[t_tid][:, None]
+        seg_s = (base + rel[:, :-1]).ravel()
+        seg_e = (base + rel[:, 1:]).ravel()
+        label = (
+            t_q[:, None] * n_tiles + np.arange(n_tiles, dtype=np.int64)[None, :]
+        ).ravel()
+        cs, cl, clab = expand_tail_chunks(seg_s, seg_e, label, TAIL_CHUNK)
+        if not len(cs):
+            return cs, cl, clab, np.zeros(n_tiles + 1, np.int32)
+        tile = clab % n_tiles
+        order = np.argsort(tile, kind="stable")
+        tile = tile[order]
+        cb = (
+            np.searchsorted(tile, np.arange(n_tiles + 1)) * TAIL_CHUNK
+        ).astype(np.int32)
+        return (
+            cs[order],
+            cl[order],
+            (clab[order] // n_tiles).astype(np.int32),
+            cb,
         )
 
     def warmup(
@@ -678,20 +870,27 @@ class HybridSearchEngine:
                         self.config.approx_top_k, self._pallas_interpret,
                     ))
             use_dense = self.t_heavy > 0
+            tb0 = jnp.asarray(
+                self._empty_tile_bounds()
+                if self._tail_partitioned
+                else np.zeros(1, np.int32)
+            )
             for cb in c_buckets:
                 z = jnp.zeros(cb, jnp.int32)
                 calls.append(_score_and_topk(
-                    self.dense, w, self.doc_ids, self.impacts, z, z, z,
+                    self.dense, w, self.doc_ids, self.impacts, z, z, z, tb0,
                     self.num_docs, k, use_dense, True,
                     self.config.approx_top_k, self.integer_scores,
+                    self._tail_partitioned,
                 ))
             if use_dense:
                 calls.append(_score_and_topk(
                     self.dense, w, self.doc_ids, self.impacts,
                     jnp.zeros(16, jnp.int32), jnp.zeros(16, jnp.int32),
-                    jnp.zeros(16, jnp.int32),
+                    jnp.zeros(16, jnp.int32), tb0,
                     self.num_docs, k, True, False,
                     self.config.approx_top_k, self.integer_scores,
+                    self._tail_partitioned,
                 ))
         for out in calls:
             out.block_until_ready()
@@ -732,9 +931,13 @@ class HybridSearchEngine:
             ]
             return lambda: [row for fin in subs for row in fin()]
         k = min(top_k, self.num_docs)
-        w, starts, lengths, rows, heavy_q, heavy_rows = self._tables(query_term_sets)
+        w, starts, lengths, rows, heavy_q, heavy_rows, tile_bounds = self._tables(
+            query_term_sets
+        )
         use_dense = bool(w.any())
         use_tail = len(starts) > 0
+        if tile_bounds is None:
+            tile_bounds = np.zeros(1, np.int32)
         if not use_dense and not use_tail:
             return lambda: [[] for _ in range(nq)]
 
@@ -805,12 +1008,14 @@ class HybridSearchEngine:
                 jnp.asarray(starts_a),
                 jnp.asarray(lengths_a),
                 jnp.asarray(rows_a),
+                jnp.asarray(tile_bounds),
                 self.num_docs,
                 k,
                 use_dense,
                 use_tail,
                 self.config.approx_top_k,
                 self.integer_scores,
+                self._tail_partitioned,
             )
 
         used_pallas = self._pallas

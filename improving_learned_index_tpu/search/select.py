@@ -47,6 +47,7 @@ def build_engine(
     dense_budget_bytes: int = 4 << 30,
     use_pallas: bool = False,
     num_docs: int = 0,
+    tail_partitioned=None,
 ):
     """Construct a query engine from a saved index — the one construction
     path shared by the rank CLI, the serving daemon, and library users.
@@ -77,6 +78,7 @@ def build_engine(
             SearchConfig(approx_top_k=approx_top_k),
             dense_budget_bytes=dense_budget_bytes,
             use_pallas=use_pallas,
+            tail_partitioned=tail_partitioned,
         )
     if engine == "host":
         from .engine import InvertedIndex

@@ -216,15 +216,16 @@ def test_scoring_matmuls_pin_highest_precision():
     rng = np.random.default_rng(1)
     index = _random_index(rng, num_docs=300, vocab_size=30, postings=3000)
     eng = HybridSearchEngine(index, heavy_min=48)
-    w, starts, lengths, rows, _, _ = eng._tables([{"t1", "t2"}])
+    w, starts, lengths, rows, _, _, _ = eng._tables([{"t1", "t2"}])
     import jax
     import jax.numpy as jnp
 
     jaxpr = jax.make_jaxpr(
-        lambda *a: he._score_and_topk(*a, 300, 10, True, True, False, True)
+        lambda *a: he._score_and_topk(*a, 300, 10, True, True, False, True, False)
     )(
         eng.dense, jnp.asarray(w.astype(jnp.bfloat16)), eng.doc_ids, eng.impacts,
         jnp.asarray(starts), jnp.asarray(lengths), jnp.asarray(rows),
+        jnp.zeros(1, jnp.int32),
     )
     assert "HIGHEST" in str(jaxpr)
 
@@ -402,3 +403,61 @@ def test_warmup_covers_live_traffic_shapes():
         for g, w in zip(got, want):
             _assert_topk_equivalent(g, w, 10)
     assert he._score_and_topk._cache_size() == size_after_warmup
+
+
+def test_hybrid_partitioned_tail_matches_host(monkeypatch):
+    """The sort-free partitioned tail (_apply_tail_partitioned: load-time
+    doc-sort per term + host tile bounds) must match the host engine
+    exactly — tile-boundary docs, heavy/tail mixes, duplicate (term, doc)
+    postings, and ties included.  Thresholds lowered so the CPU test stays
+    at 2-tile scale."""
+    from improving_learned_index_tpu.search import hybrid_engine
+    from improving_learned_index_tpu.search.hybrid_engine import _SCATTER_TILE
+
+    monkeypatch.setattr(hybrid_engine, "_TILED_MIN_DOCS", _SCATTER_TILE + 1)
+    monkeypatch.setattr(hybrid_engine, "_PALLAS_MIN_DOCS", _SCATTER_TILE + 1)
+    num_docs = _SCATTER_TILE + 4321  # 2 tiles
+    rng = np.random.default_rng(17)
+    per_doc = {}
+    docs = np.concatenate([
+        rng.integers(0, num_docs, 5000),
+        np.array([0, _SCATTER_TILE - 1, _SCATTER_TILE, num_docs - 1]),
+    ])
+    for t, dcc, v in zip(
+        rng.integers(0, 40, len(docs)), docs, rng.integers(1, 256, len(docs))
+    ):
+        per_doc.setdefault(int(dcc), {})[f"t{t}"] = int(v)
+    index = InvertedIndexData.build(sorted(per_doc.items()), num_docs=num_docs)
+    host = InvertedIndex(index)
+    # heavy_min=600: both heavy rows and tail terms exercise the split
+    eng = HybridSearchEngine(index, heavy_min=600, tail_partitioned=True)
+    assert eng._tail_partitioned
+    # load-time reorder keeps each term's postings doc-sorted, and the
+    # boundary table brackets every tile
+    b = eng._tail_bounds_rel
+    for tid in range(len(eng.term_len)):
+        if eng.is_heavy[tid] or eng.term_len[tid] == 0:
+            continue
+        s, ln = int(eng.term_start[tid]), int(eng.term_len[tid])
+        seg = np.asarray(eng.doc_ids)[s : s + ln]
+        assert (np.diff(seg) >= 0).all()
+        assert b[tid, 0] == 0 and b[tid, -1] == ln
+        for k in range(eng.n_pad // _SCATTER_TILE):
+            lo, hi = int(b[tid, k]), int(b[tid, k + 1])
+            tile_docs = seg[lo:hi]
+            assert (tile_docs // _SCATTER_TILE == k).all()
+    queries = [
+        {f"t{i}" for i in range(10)},
+        {f"t{i}" for i in range(20, 30)},
+        set(),
+        {"zzz-not-in-vocab"},
+        {f"t{i}" for i in range(40)},
+    ]
+    for a, b2 in zip(host.score_batch(queries, 100), eng.score_batch(queries, 100)):
+        assert dict(a) == dict(b2)
+    # warmup covers the partitioned shapes: live batches compile nothing new
+    n = eng.warmup(max_batch=8, top_k=10, max_chunks=64)
+    assert n > 0
+    size = hybrid_engine._score_and_topk._cache_size()
+    eng.score_batch(queries[:3], 10)
+    assert hybrid_engine._score_and_topk._cache_size() == size
