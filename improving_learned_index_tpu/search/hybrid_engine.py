@@ -565,27 +565,29 @@ class HybridSearchEngine:
         self.term_len = lengths
 
         # Partitioned tail: doc-sort each tail term's in-HBM postings once at
-        # load so per-batch scoring never sorts (see _apply_tail_partitioned).
-        # Its chunks are TAIL_CHUNK-slot windows per (term, 64k-doc tile), so
-        # it only pays when tail lists are LONG relative to the tile count:
-        # auto-gate on the posting-weighted mean tail-list length per tile
-        # (the expected segment length seen by a random tail posting).
-        # Measured both ways on v5e-1: at 8.8M docs / 40M postings / 100k
-        # vocab (~3-posting segments, 99% chunk padding) partitioned is ~5x
-        # SLOWER than the sorted tiled scatter (59 vs 312 q/s pipelined);
-        # the win case is full chunks — long mid-frequency lists, the
-        # 388M-posting MSMARCO store density.  Also requires the tiled
-        # regime (>= _TILED_MIN_DOCS; flat scatter wins below, 417 vs 341
-        # q/s sync at 1M docs) and never combines with the Pallas tail
-        # kernel, which sorts internally.
+        # load so per-batch scoring never sorts (see _apply_tail_partitioned
+        # and recommend_tail_partitioned for the density auto-gate).
         if tail_partitioned is None:
-            n_tiles = self.n_pad // _SCATTER_TILE
-            tail_lens = lengths[~is_heavy].astype(np.float64)
-            p_tail = tail_lens.sum()
-            wavg = float((tail_lens**2).sum() / p_tail) if p_tail else 0.0
-            tail_partitioned = (
-                self.num_docs >= _TILED_MIN_DOCS and wavg / n_tiles >= TAIL_CHUNK
+            tail_partitioned, gate_stats = self.recommend_tail_partitioned(
+                lengths, is_heavy, self.n_pad, self.num_docs
             )
+            if tail_partitioned:
+                # Auto-enabling changes the serving hot path on the next
+                # restart with zero operator input — say so loudly, with the
+                # density numbers, so it can be A/B'd and overridden with
+                # --no_tail_partitioned (advisor round 4).
+                import logging
+
+                logging.getLogger(
+                    "improving_learned_index_tpu.hybrid_engine"
+                ).warning(
+                    "partitioned tail AUTO-ENABLED by the density gate "
+                    "(posting-weighted tail segment length %.0f >= %d over "
+                    "%d tiles); A/B with --no_tail_partitioned to override",
+                    gate_stats["segment_len"],
+                    gate_stats["threshold"],
+                    gate_stats["n_tiles"],
+                )
         self._tail_partitioned = bool(
             tail_partitioned
             and not self._pallas
@@ -608,6 +610,42 @@ class HybridSearchEngine:
             self.dense = jax.device_put(np.zeros((1, self.n_pad), dtype=jnp.bfloat16))
 
     _DENSE_CHUNK_ROWS = 32  # fp32 scatter buffer: 32 rows x n_pad (1.13GB at 8.8M docs)
+
+    @staticmethod
+    def recommend_tail_partitioned(
+        lengths: np.ndarray,
+        is_heavy: np.ndarray,
+        n_pad: int,
+        num_docs: int,
+    ) -> Tuple[bool, dict]:
+        """Density auto-gate for the sort-free partitioned tail.
+
+        Partitioned chunks are TAIL_CHUNK-slot windows per (term, 64k-doc
+        tile), so the path only pays when tail lists are LONG relative to
+        the tile count: gate on the posting-weighted mean tail-list length
+        per tile (the expected (term, tile) segment length seen by a random
+        tail posting).  Measured both ways on v5e-1: at 8.8M docs / 40M
+        postings / 100k vocab (~3-posting segments, 99% chunk padding)
+        partitioned is ~5x SLOWER than the sorted tiled scatter (59 vs 312
+        q/s pipelined); the win case is long mid-frequency lists — MSMARCO
+        posting density (benchmarks/QBENCH_PART_388M.json).  Also requires
+        the tiled regime (>= _TILED_MIN_DOCS; flat scatter wins below, 417
+        vs 341 q/s sync at 1M docs).  Returns (decision, stats) so callers
+        (and tests) can inspect the computed density.
+        """
+        n_tiles = max(n_pad // _SCATTER_TILE, 1)
+        tail_lens = lengths[~is_heavy].astype(np.float64)
+        p_tail = tail_lens.sum()
+        wavg = float((tail_lens**2).sum() / p_tail) if p_tail else 0.0
+        seg = wavg / n_tiles
+        decision = num_docs >= _TILED_MIN_DOCS and seg >= TAIL_CHUNK
+        return decision, {
+            "segment_len": seg,
+            "threshold": TAIL_CHUNK,
+            "n_tiles": n_tiles,
+            "wavg_tail_len": wavg,
+            "tail_postings": float(p_tail),
+        }
 
     def _build_dense_on_device(self, heavy_starts: np.ndarray):
         # full arrays, not [:p_heavy] slices — the slice is a device COPY
@@ -637,10 +675,14 @@ class HybridSearchEngine:
         host pass: query prep splits each term's range at 64k-doc tile
         boundaries with one row lookup in the returned table.
 
-        Consecutive tail terms are processed in ~``block``-posting slabs via
-        one composite-key stable argsort per slab, so peak extra host RAM is
-        ~16B x block regardless of index size (cf. the chunked quantize /
-        streaming invert, index/inverted.py)."""
+        Consecutive tail terms are processed in slabs bounded BOTH by
+        ~``block`` postings (composite-key stable argsort working set) and
+        by term count (the per-slab probe table is [terms, n_tiles + 1] x
+        8B, which posting count alone does not bound: millions of 3-posting
+        terms in one 32M-posting slab would allocate tens of GB — advisor
+        round 4).  Peak extra host RAM is ~16B x block + ~16B x term budget
+        regardless of index size (cf. the chunked quantize / streaming
+        invert, index/inverted.py)."""
         n_tiles = self.n_pad // _SCATTER_TILE
         n_terms = len(self.term_len)
         bounds = np.zeros((n_terms, n_tiles + 1), dtype=np.uint32)
@@ -650,7 +692,14 @@ class HybridSearchEngine:
         lens = self.term_len[tail_tids].astype(np.int64)
         cum = np.cumsum(lens)
         grp = np.searchsorted(cum, np.arange(0, int(cum[-1]) + block, block))
+        # term-count cap: keep probes + b (2 x [terms, n_tiles+1] int64)
+        # within ~block bytes per slab
+        max_terms = max(1, block // (16 * (n_tiles + 1)))
+        grp = np.concatenate(
+            [grp, np.arange(0, len(tail_tids) + max_terms, max_terms)]
+        )
         grp = np.unique(np.concatenate([grp, [len(tail_tids)]]))
+        grp = grp[grp <= len(tail_tids)]
         probes_t = np.arange(n_tiles + 1, dtype=np.int64) * _SCATTER_TILE
         n_pad = np.int64(self.n_pad)
         for g0, g1 in zip(grp[:-1], grp[1:]):
@@ -786,6 +835,13 @@ class HybridSearchEngine:
         tile = clab % n_tiles
         order = np.argsort(tile, kind="stable")
         tile = tile[order]
+        # positions into the flat update stream must stay int32 for the
+        # device sweep; a huge batch x many tiles can exceed 2**31 slots —
+        # fail loudly instead of silently wrapping negative (advisor round 4)
+        assert len(cs) * TAIL_CHUNK < 2**31, (
+            f"partitioned tail chunk stream overflows int32 positions "
+            f"({len(cs)} chunks x {TAIL_CHUNK}); split the query batch"
+        )
         cb = (
             np.searchsorted(tile, np.arange(n_tiles + 1)) * TAIL_CHUNK
         ).astype(np.int32)
