@@ -136,6 +136,64 @@ class InvertedIndexData:
         s, e = self.offsets[tid], self.offsets[tid + 1]
         return self.doc_ids[s:e], self.impacts[s:e]
 
+    def _dedupe_sum_duplicates(self, block: int = 8 << 20) -> None:
+        """Merge duplicate (term, doc) postings in place: impacts sum and
+        saturate at 255 — the quantization-lattice semantics ``build`` already
+        applies per value, and the reference creator's one-posting-per-pair
+        invariant (create.py:41-45).  Only the constructors that DETECTED a
+        possible duplicate run this (a doc id fed twice to ``build``,
+        ``merge`` with overlapping doc ranges); the well-formed corpus
+        pipeline never pays the pass.  Guarantees downstream engines an
+        impact lattice <= 255, so the hybrid engine's bf16 dense rows stay
+        exact and the fp32 rebuild (2x HBM; the hot-swap OOM class) never
+        triggers on a built index.  Keeps (impact desc, doc asc) order
+        within each term; the zero side-CSR is untouched (zero impacts add
+        nothing to scores).  Memory is bounded by ~``block``-posting term
+        slabs."""
+        n = len(self.doc_ids)
+        if n == 0:
+            return
+        stride = np.int64(max(self.num_docs, int(self.doc_ids.max()) + 1))
+        out_docs: List[np.ndarray] = []
+        out_vals: List[np.ndarray] = []
+        new_counts = np.zeros(len(self.vocab), np.int64)
+        changed = False
+        t0 = 0
+        nvocab = len(self.vocab)
+        while t0 < nvocab:
+            t1 = int(np.searchsorted(self.offsets, self.offsets[t0] + block))
+            t1 = min(max(t1, t0 + 1), nvocab)
+            lo, hi = int(self.offsets[t0]), int(self.offsets[t1])
+            seg_lens = np.diff(self.offsets[t0 : t1 + 1])
+            tid_rel = np.repeat(np.arange(t1 - t0, dtype=np.int64), seg_lens)
+            key = tid_rel * stride + self.doc_ids[lo:hi]
+            uniq, inv, cnt = np.unique(
+                key, return_inverse=True, return_counts=True
+            )
+            if (cnt > 1).any():
+                changed = True
+                vals = np.minimum(
+                    np.bincount(inv, weights=self.impacts[lo:hi]), 255
+                ).astype(np.uint8)
+                docs = (uniq % stride).astype(np.uint32)
+                tids = uniq // stride
+                order = np.lexsort((docs, vals.astype(np.int16) * -1, tids))
+                out_docs.append(docs[order])
+                out_vals.append(vals[order])
+                new_counts[t0:t1] = np.bincount(tids, minlength=t1 - t0)
+            else:
+                out_docs.append(self.doc_ids[lo:hi])
+                out_vals.append(self.impacts[lo:hi])
+                new_counts[t0:t1] = seg_lens
+            t0 = t1
+        if not changed:
+            return
+        self.doc_ids = np.concatenate(out_docs)
+        self.impacts = np.concatenate(out_vals)
+        offsets = np.zeros(nvocab + 1, np.int64)
+        np.cumsum(new_counts, out=offsets[1:])
+        self.offsets = offsets
+
     # -- construction ---------------------------------------------------------
     @classmethod
     def build(
@@ -168,8 +226,19 @@ class InvertedIndexData:
         c_val = np.empty(_CHUNK, np.uint8)
         fill = 0
         max_doc = -1
+        # a doc id fed twice can create duplicate (term, doc) postings; track
+        # cheaply (1 bit/doc) and dedupe-sum in _finalize only when flagged
+        seen = np.zeros(1 << 16, bool)
+        maybe_dup = False
         for doc_id, impacts in doc_term_impacts:
             max_doc = max(max_doc, doc_id)
+            if doc_id >= len(seen):
+                grown = np.zeros(max(len(seen) * 2, doc_id + 1), bool)
+                grown[: len(seen)] = seen
+                seen = grown
+            if seen[doc_id]:
+                maybe_dup = True
+            seen[doc_id] = True
             for term, val in impacts.items():
                 v = min(max(0, int(val)), 255)
                 tid = vocab_map.get(term)
@@ -188,7 +257,7 @@ class InvertedIndexData:
                 c_val[fill] = v
                 fill += 1
         chunks.append((c_tid[:fill], c_doc[:fill], c_val[:fill]))
-        return cls._finalize(terms, chunks, num_docs, max_doc)
+        return cls._finalize(terms, chunks, num_docs, max_doc, check_dups=maybe_dup)
 
     @classmethod
     def _finalize(
@@ -199,6 +268,7 @@ class InvertedIndexData:
         max_doc: int,
         compact: bool = False,
         total: int = None,
+        check_dups: bool = False,
     ) -> "InvertedIndexData":
         """Shared CSR construction from typed posting chunks
         (tid int32 insertion-order, doc uint32, impact uint8).
@@ -338,26 +408,30 @@ class InvertedIndexData:
         if not has_zeros:
             # quantize drops zero impacts, so the common corpus pipeline
             # never carries a zero side-CSR: skip the split masks entirely
-            return cls(
+            inst = cls(
                 sorted_vocab,
                 _offsets(nz_counts),
                 doc_arr,
                 val_arr,
                 num_docs=max(num_docs, max_doc + 1),
             )
-        # zeros have the largest within-term key (255 - 0), so each term's
-        # zero records form the segment tail: the sorted stream splits into
-        # the two CSRs with one boolean mask
-        nonzero = val_arr > 0
-        return cls(
-            sorted_vocab,
-            _offsets(nz_counts),
-            doc_arr[nonzero],
-            val_arr[nonzero],
-            num_docs=max(num_docs, max_doc + 1),
-            zero_offsets=_offsets(z_counts),
-            zero_doc_ids=doc_arr[~nonzero],
-        )
+        else:
+            # zeros have the largest within-term key (255 - 0), so each
+            # term's zero records form the segment tail: the sorted stream
+            # splits into the two CSRs with one boolean mask
+            nonzero = val_arr > 0
+            inst = cls(
+                sorted_vocab,
+                _offsets(nz_counts),
+                doc_arr[nonzero],
+                val_arr[nonzero],
+                num_docs=max(num_docs, max_doc + 1),
+                zero_offsets=_offsets(z_counts),
+                zero_doc_ids=doc_arr[~nonzero],
+            )
+        if check_dups:
+            inst._dedupe_sum_duplicates()
+        return inst
 
     @classmethod
     def from_forward_index(cls, index_path: PathLike, num_docs: int = 0) -> "InvertedIndexData":
@@ -468,7 +542,18 @@ class InvertedIndexData:
         total_docs = max(
             (off + ix.num_docs for ix, off in zip(indexes, doc_offsets)), default=0
         )
-        return cls._finalize(vocab, chunks, num_docs=total_docs, max_doc=total_docs - 1)
+        # Overlapping doc ranges (explicit doc_offsets) can alias the same
+        # (term, doc) pair across shards — e.g. merging an expansion-term
+        # index onto its base corpus.  Flag it so _finalize dedupe-sums
+        # (saturating at 255); disjoint shards skip the pass entirely.
+        spans = sorted(
+            (off, off + ix.num_docs) for ix, off in zip(indexes, doc_offsets)
+        )
+        overlap = any(b0 < a1 for (a0, a1), (b0, b1) in zip(spans, spans[1:]))
+        return cls._finalize(
+            vocab, chunks, num_docs=total_docs, max_doc=total_docs - 1,
+            check_dups=overlap,
+        )
 
     def filter_docs(self, keep_mask: np.ndarray) -> "InvertedIndexData":
         """Remove documents without a corpus rebuild (dedup, takedowns,

@@ -962,6 +962,19 @@ class HybridSearchEngine:
         )
         self._pallas = False
 
+    def release(self) -> None:
+        """Free the engine's device buffers (dense heavy rows + CSR posting
+        arrays) ahead of a staged hot-swap: two corpus-scale engines do not
+        co-fit in a 16GB HBM budget, so ``RetrievalServer.swap_engine_staged``
+        releases the outgoing engine BEFORE constructing its replacement.
+        In-flight batches are unaffected (the XLA runtime keeps buffers
+        alive until dispatched executions complete); new score calls raise.
+        Idempotent."""
+        self._released = True
+        self.dense = None
+        self.doc_ids = None
+        self.impacts = None
+
     def score_batch_async(
         self,
         query_term_sets: Sequence[Set[str]],
@@ -973,6 +986,8 @@ class HybridSearchEngine:
         batch i and the device computes while results stream back — the
         pattern that hides the relay's per-transfer latency in serving.
         """
+        if getattr(self, "_released", False):
+            raise RuntimeError("engine released (staged swap in progress)")
         if top_k is None:
             top_k = self.config.top_k
         nq = len(query_term_sets)

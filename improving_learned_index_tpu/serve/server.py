@@ -40,6 +40,33 @@ from ..utils.text_utils import expand_pairwise_terms
 logger = get_logger("serve")
 
 
+class _PendingSwapEngine:
+    """Placeholder engine during a staged swap with no fallback: batches
+    block (bounded) until the replacement engine is live, then delegate to
+    it.  Exposes only the sync ``score_batch`` so the server's batch loop
+    blocks at finalize time — queued requests simply wait out the swap."""
+
+    def __init__(self, server: "RetrievalServer", timeout: float):
+        self._server = server
+        self._done = threading.Event()
+        self._error: Optional[str] = None
+        self._timeout = timeout
+
+    def ready(self) -> None:
+        self._done.set()
+
+    def fail(self, message: str) -> None:
+        self._error = message
+        self._done.set()
+
+    def score_batch(self, term_sets, top_k=None):
+        if not self._done.wait(self._timeout):
+            raise RuntimeError("engine swap still in progress")
+        if self._error is not None:
+            raise RuntimeError(self._error)
+        return self._server.engine.score_batch(term_sets, top_k)
+
+
 class _Stats:
     def __init__(self, maxlen: int = 4096):
         self.lock = threading.Lock()
@@ -122,10 +149,59 @@ class RetrievalServer:
         the new engine — e.g. after an incremental ``merge`` or
         ``filter_docs`` — then swap; in-flight batches finish on the old
         engine, the next batch uses the new one).  No restart, no dropped
-        requests."""
+        requests.
+
+        NOTE: building the replacement BEFORE calling this keeps both
+        engines resident; at corpus scale two device engines can exceed the
+        chip's HBM (two 1M-doc fp32-dense hybrid engines overflow 16GB).
+        Use ``swap_engine_staged`` when memory headroom is not guaranteed."""
         if tokenizer is not None:
             self.tokenizer = tokenizer
         self.engine = engine  # single attribute store: atomic under the GIL
+
+    def swap_engine_staged(
+        self,
+        build_new,
+        fallback_engine=None,
+        tokenizer=None,
+        swap_timeout: float = 600.0,
+    ):
+        """Memory-safe live swap: RELEASE the old engine's device buffers
+        before constructing its replacement, so peak accelerator memory is
+        one engine plus build transients — never two full engines
+        (``HybridSearchEngine.release``).
+
+        During the build window queries are answered by ``fallback_engine``
+        (e.g. the exact host postings engine ``search.engine.InvertedIndex``
+        — slower, never wrong), or, with no fallback, wait in the pipeline
+        until the new engine is live (bounded by ``swap_timeout``; the
+        request queue keeps shedding with explicit "overloaded" errors past
+        ``max_queue``).  ``build_new`` is a zero-arg callable returning the
+        replacement engine."""
+        pend = (
+            fallback_engine
+            if fallback_engine is not None
+            else _PendingSwapEngine(self, swap_timeout)
+        )
+        old, self.engine = self.engine, pend
+        release = getattr(old, "release", None)
+        del old  # drop the last strong reference before building
+        if release is not None:
+            release()
+            del release
+        try:
+            new_engine = build_new()
+        except Exception:
+            # the old engine is gone; leave the fallback serving rather
+            # than flipping to a broken engine
+            logger.error("staged swap build failed; fallback engine stays live")
+            if isinstance(pend, _PendingSwapEngine):
+                pend.fail("engine swap build failed")
+            raise
+        self.swap_engine(new_engine, tokenizer)
+        if isinstance(pend, _PendingSwapEngine):
+            pend.ready()
+        return new_engine
 
     # -- lifecycle ---------------------------------------------------------
     def start(self) -> int:
