@@ -45,6 +45,15 @@ def main(argv=None) -> int:
     parser.add_argument("--qrels_path", type=Path, default=None)
     parser.add_argument("--eval_every", type=int, default=500)
     parser.add_argument("--no_beir_eval", action="store_true")
+    parser.add_argument("--eval_datasets", type=str, default=None,
+                        help="comma list of NanoBEIR dataset names to "
+                        "evaluate in-training (default: all available). "
+                        "Each eval stalls training for the full set "
+                        "(~82s for all 13 at 10k docs vs ~40-80s of packed "
+                        "training per 500 steps); a subset like "
+                        "'msmarco,nfcorpus' keeps the cadence cheap — the "
+                        "per-eval stall is logged to metrics.txt as "
+                        "eval_stall_seconds")
     parser.add_argument("--nano_beir_dir", type=Path, default=None)
     parser.add_argument("--epochs", type=int, default=1)
     parser.add_argument("--total_steps", type=int, default=None)
@@ -130,7 +139,12 @@ def main(argv=None) -> int:
     if not args.no_beir_eval:
         from ..evaluation.nano_beir import NanoBEIREvaluator
 
-        evaluator = NanoBEIREvaluator(batch_size=64, local_data_dir=args.nano_beir_dir)
+        evaluator = NanoBEIREvaluator(
+            batch_size=64,
+            local_data_dir=args.nano_beir_dir,
+            datasets=(args.eval_datasets.split(",") if args.eval_datasets
+                      else None),
+        )
 
     config = TrainConfig(
         batch_size=args.batch_size,

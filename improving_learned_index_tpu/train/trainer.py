@@ -328,13 +328,25 @@ class Trainer:
             self.model.params = self.params
 
             if self.evaluator is not None and i % cfg.eval_every == 0:
+                # The eval is a full training stall (all requested NanoBEIR
+                # datasets re-encode their corpora); record its cost next to
+                # its results so operators can tune the cadence trade-off
+                # (--eval_every / --eval_datasets): at 10k-doc scale all 13
+                # datasets cost ~82s per firing vs ~40-80s of packed
+                # training per 500-step interval (NANO_BEIR_10K.json).
+                t_eval = time.time()
                 metrics = self.evaluator.evaluate_all(self.model)
-                record = {"iteration": i, "metrics": metrics}
-                logger.info(f"eval at iteration {i}: {metrics}")
+                eval_s = round(time.time() - t_eval, 2)
+                record = {"iteration": i, "metrics": metrics,
+                          "eval_stall_seconds": eval_s}
+                logger.info(f"eval at iteration {i} ({eval_s}s stall): {metrics}")
                 with open(self.checkpoint_dir / "metrics.txt", "a") as f:
                     f.write(json.dumps(record, default=str) + "\n")
                 if self.metrics_logger is not None:
-                    self.metrics_logger.log({"eval": metrics}, step=self.manager.step)
+                    self.metrics_logger.log(
+                        {"eval": metrics, "eval/stall_seconds": eval_s},
+                        step=self.manager.step,
+                    )
 
             if stepped:
                 self.manager.on_step(self.params, self.opt_state, metric=loss_val)

@@ -114,3 +114,15 @@ def test_nano_beir_cli_all_13(nano_13_dir, tmp_path):
     assert len(avg) == 4  # the reference's 4-tuple layout
     for d in avg:
         assert set(d) >= {f"{m}@10" for m in ("NDCG",)} or any("@10" in k for k in d)
+
+
+def test_eval_datasets_subset(nano_13_dir):
+    """The in-training cost dial: an explicit subset evaluates ONLY those
+    datasets (--eval_datasets in cli.train), so the per-eval stall scales
+    with the subset instead of all 13."""
+    ev = NanoBEIREvaluator(
+        batch_size=4, local_data_dir=nano_13_dir, datasets=["msmarco", "scifact"]
+    )
+    metrics = ev.evaluate_all(UnitImpactModel())
+    assert sorted(metrics) == ["avg", "msmarco", "scifact"]
+    assert metrics["msmarco"][0]["NDCG@10"] == 1.0

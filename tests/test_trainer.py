@@ -259,3 +259,24 @@ def test_initialize_distributed_single_host(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "dist ok: 28.0 4" in proc.stdout
+
+
+def test_eval_stall_seconds_logged(tiny_tokenizer, tmp_path):
+    """Every in-training eval writes its wall-clock stall into metrics.txt
+    (the operator's cadence dial: eval cost vs train progress)."""
+    import json as _json
+
+    class _Ev:
+        def evaluate_all(self, model):
+            return {"avg": ({"NDCG@10": 1.0},) * 4}
+
+    model = _model(tiny_tokenizer)
+    cfg = TrainConfig(batch_size=2, lr=1e-3, save_every=10**6, eval_every=2)
+    trainer = Trainer(model, cfg, tmp_path, evaluator=_Ev())
+    trainer.train(_batches(tiny_tokenizer, "pairwise_ce"), total_steps=4)
+    records = [
+        _json.loads(line)
+        for line in (tmp_path / "metrics.txt").read_text().splitlines()
+    ]
+    evals = [r for r in records if "eval_stall_seconds" in r]
+    assert evals and all(r["eval_stall_seconds"] >= 0 for r in evals)
