@@ -209,6 +209,119 @@ def _apply_tail_partitioned(scores, d, v, r, tile_bounds):
     return jax.lax.fori_loop(0, n_tiles, tile_body, scores)
 
 
+def partition_tail_csr(
+    doc_ids: np.ndarray,
+    impacts: np.ndarray,
+    term_start: np.ndarray,
+    term_len: np.ndarray,
+    tail_tids: np.ndarray,
+    n_pad: int,
+    block: int = 32 << 20,
+) -> np.ndarray:
+    """Doc-sort the given terms' postings in place; return the per-term
+    tile-boundary table (uint32 positions relative to ``term_start``).
+
+    The load-time half of the sort-free partitioned tail (see
+    ``_apply_tail_partitioned``): posting order inside one term's list is
+    free for scoring — the reference accumulates a per-doc sum
+    (inverted_index.py:55-62) — so trading impact order for doc order turns
+    the per-batch device sort into this one-time host pass.  Used by both
+    the single-chip engine (``HybridSearchEngine._partition_tail_by_doc``)
+    and the per-shard blocks of ``ShardedSearchEngine``.
+
+    Terms are processed in slabs bounded BOTH by ~``block`` postings
+    (composite-key stable argsort working set) and by term count (the
+    per-slab probe table is [terms, n_tiles + 1] x 8B, which posting count
+    alone does not bound — advisor round 4)."""
+    n_tiles = n_pad // _SCATTER_TILE
+    n_terms = len(term_len)
+    bounds = np.zeros((n_terms, n_tiles + 1), dtype=np.uint32)
+    tail_tids = tail_tids[term_len[tail_tids] > 0]
+    if not len(tail_tids):
+        return bounds
+    lens = term_len[tail_tids].astype(np.int64)
+    cum = np.cumsum(lens)
+    grp = np.searchsorted(cum, np.arange(0, int(cum[-1]) + block, block))
+    # term-count cap: keep probes + b (2 x [terms, n_tiles+1] int64)
+    # within ~block bytes per slab
+    max_terms = max(1, block // (16 * (n_tiles + 1)))
+    grp = np.concatenate(
+        [grp, np.arange(0, len(tail_tids) + max_terms, max_terms)]
+    )
+    grp = np.unique(np.concatenate([grp, [len(tail_tids)]]))
+    grp = grp[grp <= len(tail_tids)]
+    probes_t = np.arange(n_tiles + 1, dtype=np.int64) * _SCATTER_TILE
+    n_pad64 = np.int64(n_pad)
+    for g0, g1 in zip(grp[:-1], grp[1:]):
+        tids = tail_tids[g0:g1]
+        if not len(tids):
+            continue
+        tlens = term_len[tids].astype(np.int64)
+        lo = int(term_start[tids[0]])
+        hi = int(term_start[tids[-1]] + tlens[-1])
+        tl = np.repeat(np.arange(len(tids), dtype=np.int64), tlens)
+        key = tl * n_pad64 + doc_ids[lo:hi]
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        doc_ids[lo:hi] = doc_ids[lo:hi][order]
+        impacts[lo:hi] = impacts[lo:hi][order]
+        probes = (
+            np.arange(len(tids), dtype=np.int64)[:, None] * n_pad64
+            + probes_t[None, :]
+        )
+        b = np.searchsorted(key, probes.ravel()).reshape(len(tids), -1)
+        offs = np.concatenate([[0], np.cumsum(tlens)[:-1]])
+        bounds[tids] = (b - offs[:, None]).astype(np.uint32)
+    return bounds
+
+
+def partitioned_chunk_table(
+    bounds_rel: np.ndarray,
+    term_start: np.ndarray,
+    t_q: np.ndarray,
+    t_tid: np.ndarray,
+    n_tiles: int,
+):
+    """Per-batch chunk table for the partitioned tail: split each query
+    term's doc-sorted posting range at tile boundaries (one row lookup in
+    ``bounds_rel``), order chunks by tile, and return the flat tile bounds.
+    The (query row, tile) pair rides through ``expand_tail_chunks`` as one
+    packed label.  Returns (chunk_starts, chunk_lengths, chunk_rows,
+    tile_bounds)."""
+    if not len(t_tid):
+        chunks = (np.empty(0, np.int32),) * 3
+        return (*chunks, np.zeros(n_tiles + 1, np.int32))
+    rel = bounds_rel[t_tid].astype(np.int64)  # [K, n_tiles+1]
+    base = term_start[t_tid][:, None]
+    seg_s = (base + rel[:, :-1]).ravel()
+    seg_e = (base + rel[:, 1:]).ravel()
+    label = (
+        t_q[:, None] * n_tiles + np.arange(n_tiles, dtype=np.int64)[None, :]
+    ).ravel()
+    cs, cl, clab = expand_tail_chunks(seg_s, seg_e, label, TAIL_CHUNK)
+    if not len(cs):
+        return cs, cl, clab, np.zeros(n_tiles + 1, np.int32)
+    tile = clab % n_tiles
+    order = np.argsort(tile, kind="stable")
+    tile = tile[order]
+    # positions into the flat update stream must stay int32 for the
+    # device sweep; a huge batch x many tiles can exceed 2**31 slots —
+    # fail loudly instead of silently wrapping negative (advisor round 4)
+    assert len(cs) * TAIL_CHUNK < 2**31, (
+        f"partitioned tail chunk stream overflows int32 positions "
+        f"({len(cs)} chunks x {TAIL_CHUNK}); split the query batch"
+    )
+    cb = (
+        np.searchsorted(tile, np.arange(n_tiles + 1)) * TAIL_CHUNK
+    ).astype(np.int32)
+    return (
+        cs[order],
+        cl[order],
+        (clab[order] // n_tiles).astype(np.int32),
+        cb,
+    )
+
+
 def build_dense_rows(
     doc_ids,
     impacts,
@@ -665,64 +778,14 @@ class HybridSearchEngine:
         self, doc_ids: np.ndarray, impacts: np.ndarray, block: int = 32 << 20
     ) -> np.ndarray:
         """Doc-sort every tail term's postings in place; return the per-term
-        tile-boundary table (uint32 positions relative to term_start).
-
-        Posting order inside one term's list is free for scoring — the
-        reference accumulates a per-doc sum (inverted_index.py:55-62); the
+        tile-boundary table (see ``partition_tail_csr``).  The
         impact-descending order only matters in the serialized .dat, which
-        this in-HBM copy never writes back.  Trading it for doc order turns
-        the per-batch device sort in _apply_tail_tiled into this one-time
-        host pass: query prep splits each term's range at 64k-doc tile
-        boundaries with one row lookup in the returned table.
-
-        Consecutive tail terms are processed in slabs bounded BOTH by
-        ~``block`` postings (composite-key stable argsort working set) and
-        by term count (the per-slab probe table is [terms, n_tiles + 1] x
-        8B, which posting count alone does not bound: millions of 3-posting
-        terms in one 32M-posting slab would allocate tens of GB — advisor
-        round 4).  Peak extra host RAM is ~16B x block + ~16B x term budget
-        regardless of index size (cf. the chunked quantize / streaming
-        invert, index/inverted.py)."""
-        n_tiles = self.n_pad // _SCATTER_TILE
-        n_terms = len(self.term_len)
-        bounds = np.zeros((n_terms, n_tiles + 1), dtype=np.uint32)
+        this in-HBM copy never writes back."""
         tail_tids = np.nonzero(~self.is_heavy & (self.term_len > 0))[0]
-        if not len(tail_tids):
-            return bounds
-        lens = self.term_len[tail_tids].astype(np.int64)
-        cum = np.cumsum(lens)
-        grp = np.searchsorted(cum, np.arange(0, int(cum[-1]) + block, block))
-        # term-count cap: keep probes + b (2 x [terms, n_tiles+1] int64)
-        # within ~block bytes per slab
-        max_terms = max(1, block // (16 * (n_tiles + 1)))
-        grp = np.concatenate(
-            [grp, np.arange(0, len(tail_tids) + max_terms, max_terms)]
+        return partition_tail_csr(
+            doc_ids, impacts, self.term_start, self.term_len,
+            tail_tids, self.n_pad, block,
         )
-        grp = np.unique(np.concatenate([grp, [len(tail_tids)]]))
-        grp = grp[grp <= len(tail_tids)]
-        probes_t = np.arange(n_tiles + 1, dtype=np.int64) * _SCATTER_TILE
-        n_pad = np.int64(self.n_pad)
-        for g0, g1 in zip(grp[:-1], grp[1:]):
-            tids = tail_tids[g0:g1]
-            if not len(tids):
-                continue
-            tlens = self.term_len[tids].astype(np.int64)
-            lo = int(self.term_start[tids[0]])
-            hi = int(self.term_start[tids[-1]] + tlens[-1])
-            tl = np.repeat(np.arange(len(tids), dtype=np.int64), tlens)
-            key = tl * n_pad + doc_ids[lo:hi]
-            order = np.argsort(key, kind="stable")
-            key = key[order]
-            doc_ids[lo:hi] = doc_ids[lo:hi][order]
-            impacts[lo:hi] = impacts[lo:hi][order]
-            probes = (
-                np.arange(len(tids), dtype=np.int64)[:, None] * n_pad
-                + probes_t[None, :]
-            )
-            b = np.searchsorted(key, probes.ravel()).reshape(len(tids), -1)
-            offs = np.concatenate([[0], np.cumsum(tlens)[:-1]])
-            bounds[tids] = (b - offs[:, None]).astype(np.uint32)
-        return bounds
 
     @classmethod
     def from_term_impacts(
@@ -818,38 +881,9 @@ class HybridSearchEngine:
         ``_tail_bounds_rel``), order chunks by tile, and return the flat
         tile bounds.  The (query row, tile) pair rides through
         ``expand_tail_chunks`` as one packed label."""
-        n_tiles = self.n_pad // _SCATTER_TILE
-        if not len(t_tid):
-            chunks = (np.empty(0, np.int32),) * 3
-            return (*chunks, np.zeros(n_tiles + 1, np.int32))
-        rel = self._tail_bounds_rel[t_tid].astype(np.int64)  # [K, n_tiles+1]
-        base = self.term_start[t_tid][:, None]
-        seg_s = (base + rel[:, :-1]).ravel()
-        seg_e = (base + rel[:, 1:]).ravel()
-        label = (
-            t_q[:, None] * n_tiles + np.arange(n_tiles, dtype=np.int64)[None, :]
-        ).ravel()
-        cs, cl, clab = expand_tail_chunks(seg_s, seg_e, label, TAIL_CHUNK)
-        if not len(cs):
-            return cs, cl, clab, np.zeros(n_tiles + 1, np.int32)
-        tile = clab % n_tiles
-        order = np.argsort(tile, kind="stable")
-        tile = tile[order]
-        # positions into the flat update stream must stay int32 for the
-        # device sweep; a huge batch x many tiles can exceed 2**31 slots —
-        # fail loudly instead of silently wrapping negative (advisor round 4)
-        assert len(cs) * TAIL_CHUNK < 2**31, (
-            f"partitioned tail chunk stream overflows int32 positions "
-            f"({len(cs)} chunks x {TAIL_CHUNK}); split the query batch"
-        )
-        cb = (
-            np.searchsorted(tile, np.arange(n_tiles + 1)) * TAIL_CHUNK
-        ).astype(np.int32)
-        return (
-            cs[order],
-            cl[order],
-            (clab[order] // n_tiles).astype(np.int32),
-            cb,
+        return partitioned_chunk_table(
+            self._tail_bounds_rel, self.term_start, t_q, t_tid,
+            self.n_pad // _SCATTER_TILE,
         )
 
     def warmup(

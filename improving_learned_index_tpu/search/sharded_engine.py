@@ -60,6 +60,7 @@ class ShardedSearchEngine:
         heavy_min: int = 1024,
         axis: str = "data",
         use_pallas: bool = False,  # opt-in per-shard Pallas tail scatter
+        tail_partitioned: Optional[bool] = None,
     ):
         self.config = config
         self.mesh = mesh
@@ -179,6 +180,39 @@ class ShardedSearchEngine:
             max_tail = max(max_tail, len(t_docs))
             tail_data.append((t_docs, t_vals))
 
+        # Per-shard sort-free partitioned tail (same trade as the single-chip
+        # engine, hybrid_engine._apply_tail_partitioned): doc-sort each
+        # shard's tail blocks once at load, split query ranges at local 64k
+        # tile boundaries per batch, skip the per-batch device sort.  Gated
+        # by the same posting-weighted density rule, evaluated on SHARD
+        # geometry (lists 1/S as long, tiles 1/S as many).
+        if tail_partitioned is None:
+            from .hybrid_engine import HybridSearchEngine
+
+            tail_lens = np.concatenate(
+                [np.diff(o) for o in self.tail_offsets]
+            ) if self.n_shards else np.zeros(0, np.int64)
+            tail_partitioned, _ = HybridSearchEngine.recommend_tail_partitioned(
+                tail_lens, np.zeros(len(tail_lens), bool),
+                self.shard_docs, self.shard_docs,
+            )
+        self._tail_partitioned = bool(
+            tail_partitioned and self.shard_docs % _TILE == 0 and not self._pallas
+        )
+        self._tail_bounds_rel: List[np.ndarray] = []
+        if self._tail_partitioned:
+            from .hybrid_engine import partition_tail_csr
+
+            for s, (t_docs, t_vals) in enumerate(tail_data):
+                offs = self.tail_offsets[s]
+                lens = np.diff(offs)
+                self._tail_bounds_rel.append(
+                    partition_tail_csr(
+                        t_docs, t_vals, offs[:-1], lens,
+                        np.nonzero(lens > 0)[0], self.shard_docs,
+                    )
+                )
+
         self.dense_dtype = (
             jnp.float32
             if any(d.dtype == np.float32 for d in dense_shards)
@@ -208,12 +242,13 @@ class ShardedSearchEngine:
         shard_docs = self.shard_docs
         n_shards = self.n_shards
 
-        @partial(jax.jit, static_argnums=(6, 7, 8))
+        @partial(jax.jit, static_argnums=(7, 8, 9))
         def score(
-            dense, w, tail_docs, tail_vals, tail_table, doc_lo,
+            dense, w, tail_docs, tail_vals, tail_table, tile_bounds, doc_lo,
             k_local, k_final, tail_impl="xla",
         ):
-            def local(dense_s, tail_docs_s, tail_vals_s, tail_table_s, doc_lo_s):
+            def local(dense_s, tail_docs_s, tail_vals_s, tail_table_s,
+                      tile_bounds_s, doc_lo_s):
                 # dense_s: [1, T_h, shard_docs]; tail_table_s: [1, 3, C]
                 # HIGHEST: TPU's default precision truncates fp32 operands
                 # to bf16 (loses 1 from a 257 cell); no-op for bf16 dense.
@@ -244,6 +279,15 @@ class ShardedSearchEngine:
                     scores = apply_tail_updates(
                         scores, d.reshape(-1), v.reshape(-1), r.reshape(-1),
                         interpret=tail_impl == "pallas_interpret",
+                    )
+                elif tail_impl == "partitioned":
+                    # sort-free: chunks arrive tile-grouped per shard with
+                    # host-computed flat-stream tile bounds
+                    from .hybrid_engine import _apply_tail_partitioned
+
+                    scores = _apply_tail_partitioned(
+                        scores, d.reshape(-1), v.reshape(-1), r.reshape(-1),
+                        tile_bounds_s[0],
                     )
                 elif shard_docs >= _TILED_MIN and shard_docs % _TILE == 0:
                     # doc-sorted VMEM-tiled scatter (see hybrid_engine)
@@ -278,11 +322,12 @@ class ShardedSearchEngine:
                     P(axis_, None),
                     P(axis_, None),
                     P(axis_, None, None),
+                    P(axis_, None),
                     P(axis_),
                 ),
                 out_specs=P(axis_, None, None, None),
                 check_vma=False,
-            )(dense, tail_docs, tail_vals, tail_table, doc_lo)
+            )(dense, tail_docs, tail_vals, tail_table, tile_bounds, doc_lo)
             return out[0]
 
         self._score = score
@@ -293,9 +338,14 @@ class ShardedSearchEngine:
     def _tables(self, query_term_sets: Sequence[Set[str]]):
         """W is shared; the tail chunk table is per shard (ranges differ).
         Vectorized like hybrid_engine._tables: one dict lookup per query
-        term, numpy chunk expansion per shard."""
-        from .hybrid_engine import expand_tail_chunks
+        term, numpy chunk expansion per shard.  Returns (w, table,
+        tile_bounds) — ``tile_bounds`` [S, n_tiles + 1] marks each shard's
+        tile ranges in its flat update stream (partitioned mode; zeros
+        otherwise)."""
+        from .hybrid_engine import expand_tail_chunks, partitioned_chunk_table
 
+        n_tiles = self.shard_docs // _TILE if self._tail_partitioned else 0
+        tb = np.zeros((self.n_shards, n_tiles + 1), dtype=np.int32)
         nq = len(query_term_sets)
         w = np.zeros((nq, self.t_heavy), dtype=np.float32)
         qs: List[int] = []
@@ -308,29 +358,39 @@ class ShardedSearchEngine:
                     qs.append(q)
                     tids.append(tid)
         if not tids:
-            return w, np.zeros((self.n_shards, 3, _bucket(1)), dtype=np.int32)
+            return w, np.zeros((self.n_shards, 3, _bucket(1)), dtype=np.int32), tb
         q_arr = np.asarray(qs, dtype=np.int64)
         tid_arr = np.asarray(tids, dtype=np.int64)
         hrow = self.heavy_row_arr[tid_arr]
         heavy = hrow >= 0
         w[q_arr[heavy], hrow[heavy]] = 1.0
         t_q, t_tid = q_arr[~heavy], tid_arr[~heavy]
-        per_shard = [
-            expand_tail_chunks(
-                self.tail_offsets[s][t_tid],
-                self.tail_offsets[s][t_tid + 1],
-                t_q,
-                TAIL_CHUNK,
-            )
-            for s in range(self.n_shards)
-        ]
+        if self._tail_partitioned:
+            per_shard = []
+            for s in range(self.n_shards):
+                cs, cl, cr, cb = partitioned_chunk_table(
+                    self._tail_bounds_rel[s], self.tail_offsets[s][:-1],
+                    t_q, t_tid, n_tiles,
+                )
+                per_shard.append((cs, cl, cr))
+                tb[s] = cb
+        else:
+            per_shard = [
+                expand_tail_chunks(
+                    self.tail_offsets[s][t_tid],
+                    self.tail_offsets[s][t_tid + 1],
+                    t_q,
+                    TAIL_CHUNK,
+                )
+                for s in range(self.n_shards)
+            ]
         c = _bucket(max(max((len(p[0]) for p in per_shard), default=1), 1))
         table = np.zeros((self.n_shards, 3, c), dtype=np.int32)
         for s, (cs, cl, cr) in enumerate(per_shard):
             table[s, 0, : len(cs)] = cs
             table[s, 1, : len(cs)] = cl
             table[s, 2, : len(cs)] = cr
-        return w, table
+        return w, table, tb
 
     def score_batch_async(
         self,
@@ -346,24 +406,29 @@ class ShardedSearchEngine:
             return lambda: []
         k_local = min(top_k, self.shard_docs)
         k_final = min(top_k, self.num_docs, self.n_shards * k_local)
-        w, table = self._tables(query_term_sets)
+        w, table, tile_bounds = self._tables(query_term_sets)
         nq_b = _bucket(nq, base=8)
         if nq_b > nq:
             w = np.concatenate([w, np.zeros((nq_b - nq, w.shape[1]), w.dtype)])
+        if self._pallas and nq_b <= 64:
+            tail_impl = "pallas_interpret" if self._pallas_interpret else "pallas"
+        elif self._tail_partitioned:
+            tail_impl = "partitioned"
+        else:
+            tail_impl = "xla"
         packed = self._score(
             self.dense,
             jnp.asarray(w),
             self.tail_docs,
             self.tail_vals,
             jax.device_put(table, NamedSharding(self.mesh, P(self.axis, None, None))),
+            jax.device_put(
+                tile_bounds, NamedSharding(self.mesh, P(self.axis, None))
+            ),
             self._doc_lo_dev,
             k_local,
             k_final,
-            (
-                ("pallas_interpret" if self._pallas_interpret else "pallas")
-                if self._pallas and nq_b <= 64
-                else "xla"
-            ),
+            tail_impl,
         )
 
         def finalize() -> List[List[Tuple[int, float]]]:

@@ -135,3 +135,58 @@ def test_sharded_tiled_tail_large_shards(mesh, monkeypatch):
     queries = [{f"t{i}" for i in range(8)}, {f"t{i}" for i in range(10, 14)}]
     for ours, theirs in zip(eng.score_batch(queries, 60), host.score_batch(queries, 60)):
         assert dict(ours) == dict(theirs)
+
+
+def test_sharded_partitioned_tail_matches_host(mesh, monkeypatch):
+    """Per-shard sort-free partitioned tail (round-5): doc-sorted shard
+    blocks + host tile bounds must merge to exact host agreement, including
+    tile-boundary docs and heavy/tail mixes."""
+    from improving_learned_index_tpu.search import hybrid_engine, sharded_engine
+    from improving_learned_index_tpu.search.hybrid_engine import _SCATTER_TILE
+
+    monkeypatch.setattr(hybrid_engine, "_TILED_MIN_DOCS", _SCATTER_TILE + 1)
+    monkeypatch.setattr(sharded_engine, "_TILED_MIN", _SCATTER_TILE + 1)
+    monkeypatch.setattr(sharded_engine, "_PALLAS_MIN", _SCATTER_TILE + 1)
+    num_docs = 2 * _SCATTER_TILE * 8 + 777  # >1 tile per shard on 8 devices
+    rng = np.random.default_rng(23)
+    per_doc = {}
+    docs = np.concatenate([
+        rng.integers(0, num_docs, 4000),
+        np.array([0, _SCATTER_TILE - 1, _SCATTER_TILE, num_docs - 1]),
+    ])
+    for t, d, v in zip(rng.integers(0, 30, len(docs)), docs,
+                       rng.integers(1, 256, len(docs))):
+        per_doc.setdefault(int(d), {})[f"t{t}"] = int(v)
+    index = InvertedIndexData.build(sorted(per_doc.items()), num_docs=num_docs)
+    host = InvertedIndex(index)
+    # heavy_min=300: heavy rows AND partitioned tail both engage
+    eng = ShardedSearchEngine(index, mesh, heavy_min=300, tail_partitioned=True)
+    assert eng._tail_partitioned
+    # per-shard doc-sort invariant: every term segment is doc-ascending and
+    # the bounds bracket each local tile
+    for s in range(eng.n_shards):
+        offs, b = eng.tail_offsets[s], eng._tail_bounds_rel[s]
+        t_docs = np.asarray(eng.tail_docs)[s]
+        for tid in range(len(offs) - 1):
+            lo, ln = int(offs[tid]), int(offs[tid + 1] - offs[tid])
+            if ln == 0:
+                continue
+            seg = t_docs[lo : lo + ln]
+            assert (np.diff(seg) >= 0).all()
+            assert b[tid, 0] == 0 and b[tid, -1] == ln
+    queries = [
+        {f"t{i}" for i in range(8)},
+        {f"t{i}" for i in range(10, 14)},
+        {"t0"},
+        {"nosuch"},
+    ]
+    got = eng.score_batch(queries, 60)
+    want = host.score_batch(queries, 60)
+    for ours, theirs in zip(got, want):
+        assert [s for _, s in ours] == [s for _, s in theirs]
+        assert dict(ours) == dict(theirs)
+    # default (auto) mode on this geometry stays un-partitioned and agrees
+    eng2 = ShardedSearchEngine(index, mesh, heavy_min=300)
+    assert not eng2._tail_partitioned
+    for ours, theirs in zip(eng2.score_batch(queries, 60), want):
+        assert [s for _, s in ours] == [s for _, s in theirs]
