@@ -157,13 +157,22 @@ def measure_queries():
     eng = HybridSearchEngine(index, heavy_min=1024)
     eng.score_batch(queries, qb.TOPK)  # warmup/compile
     n_batches = 8
-    t0 = time.time()
-    total = 0
-    for res in eng.score_stream([queries] * n_batches, qb.TOPK, depth=3):
-        total += sum(len(r) for r in res)
-    el = time.time() - t0
-    qps = qb.NQ * n_batches / el
-    print(f"queries: {qps:.1f} q/s exact pipelined ({total} results)", file=sys.stderr)
+    # >= 3 repeats with recorded spread: single-shot numbers drifted -6.6%
+    # between rounds 3 and 4 with no way to tell regression from noise
+    reps = []
+    for _ in range(3):
+        t0 = time.time()
+        total = 0
+        for res in eng.score_stream([queries] * n_batches, qb.TOPK, depth=3):
+            total += sum(len(r) for r in res)
+        reps.append(qb.NQ * n_batches / (time.time() - t0))
+    qps = statistics.median(reps)
+    print(
+        f"queries: {qps:.1f} q/s exact pipelined, reps "
+        f"{[round(r, 1) for r in reps]} "
+        f"(spread {min(reps):.1f}-{max(reps):.1f}, {total} results)",
+        file=sys.stderr,
+    )
 
     cache = _load_cache()
     # The baseline cache key carries the full workload fingerprint, so a
@@ -192,7 +201,7 @@ def measure_queries():
         _save_cache(cache)
     base = cache[base_key]
     print(f"refpy baseline: {base:.2f} q/s", file=sys.stderr)
-    return qps, qps / base
+    return qps, qps / base, reps
 
 
 def _relay_reachable(retry_s: float = 300.0) -> bool:
@@ -243,10 +252,11 @@ def main():
         vs = None
     extra = None
     try:
-        qps, q_vs = measure_queries()
+        qps, q_vs, reps = measure_queries()
         extra = {
             "queries_per_s": round(qps, 2),
             "queries_vs_baseline": round(q_vs, 2),
+            "queries_per_s_reps": [round(r, 2) for r in reps],
             "query_workload": "1M docs, 5.7M postings, 64-query batches, k=1000, exact top-k",
         }
     except Exception as e:

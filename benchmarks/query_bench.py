@@ -332,7 +332,8 @@ def main():
                     r["q_per_s_reps"] = [round(x, 2) for x in reps]
             else:
                 r = time_engine(lambda: eng.score_batch(queries, TOPK), name)
-                if base in ("hybrid", "hybrid_part", "hybrid_nopart"):
+                if base in ("hybrid", "hybrid_part", "hybrid_nopart",
+                            "hybrid_pallas"):
                     baseline_results[base] = eng.score_batch(queries, TOPK)
         elif name == "device":
             from improving_learned_index_tpu.search.device_engine import DeviceSearchEngine
@@ -367,10 +368,11 @@ def main():
         results.append(r)
 
     # Every tail mode must match every other rank-by-rank (exact contract).
+    variants = ("hybrid", "hybrid_nopart", "hybrid_part", "hybrid_pallas")
     pairs = [
         (x, y)
-        for i, x in enumerate(("hybrid", "hybrid_nopart", "hybrid_part"))
-        for y in ("hybrid", "hybrid_nopart", "hybrid_part")[i + 1:]
+        for i, x in enumerate(variants)
+        for y in variants[i + 1:]
         if x in baseline_results and y in baseline_results
     ]
     for x, y in pairs:

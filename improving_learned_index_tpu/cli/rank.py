@@ -38,7 +38,9 @@ def main(argv=None) -> int:
                         "a stress pass before becoming the default)")
     parser.add_argument("--tail_partitioned", action="store_true", default=None,
                         help="hybrid engine: doc-partition tail postings at "
-                        "load so scoring never sorts (auto-on >= 4M docs)")
+                        "load so scoring never sorts.  OPT-IN: lost "
+                        "the same-run A/B at every measured density "
+                        "(QBENCH_PART_388M.json) - A/B before serving")
     parser.add_argument("--no_tail_partitioned", dest="tail_partitioned",
                         action="store_false")
     args = parser.parse_args(argv)

@@ -50,7 +50,9 @@ def main(argv=None) -> int:
     parser.add_argument("--use_pallas", action="store_true")
     parser.add_argument("--tail_partitioned", action="store_true", default=None,
                         help="hybrid engine: doc-partition tail postings at "
-                        "load so scoring never sorts (auto-on >= 4M docs)")
+                        "load so scoring never sorts.  OPT-IN: lost "
+                        "the same-run A/B at every measured density "
+                        "(QBENCH_PART_388M.json) - A/B before serving")
     parser.add_argument("--no_tail_partitioned", dest="tail_partitioned",
                         action="store_false")
     parser.add_argument("--allow_remote_shutdown", action="store_true",
@@ -58,6 +60,12 @@ def main(argv=None) -> int:
     parser.add_argument("--no_warmup", action="store_true",
                         help="skip the startup warmup batch (first request "
                         "pays the jit compile instead)")
+    parser.add_argument("--warmup_max_chunks", type=int, default=None,
+                        help="largest tail-chunk-table bucket to pre-compile "
+                        "(default 4096; auto-scaled up when the engine runs "
+                        "the partitioned tail, whose chunk tables grow with "
+                        "the tile count — un-warmed buckets are mid-request "
+                        "compile stalls)")
     args = parser.parse_args(argv)
 
     if (args.index_path is None) == (args.shards is None):
@@ -89,8 +97,22 @@ def main(argv=None) -> int:
             # compile the engine's whole serving shape lattice before
             # accepting traffic — a bucket combo first seen in live traffic
             # is a mid-request compile stall (hybrid_engine.warmup)
-            n = engine.warmup(max_batch=args.max_batch, top_k=args.top_k)
-            print(f"warmup done: {n} shape combos compiled")
+            max_chunks = args.warmup_max_chunks
+            if max_chunks is None:
+                max_chunks = 4096
+                if getattr(engine, "_tail_partitioned", False):
+                    # partitioned chunk tables carry >= one TAIL_CHUNK chunk
+                    # per non-empty (term, 64k-tile) segment, so live batches
+                    # land far past the default lattice: scale by the tile
+                    # count and a typical 8-terms-per-query batch
+                    n_tiles = engine.n_pad // 65536
+                    max_chunks = max(4096, args.max_batch * 8 * n_tiles)
+            n = engine.warmup(
+                max_batch=args.max_batch, top_k=args.top_k,
+                max_chunks=max_chunks,
+            )
+            print(f"warmup done: {n} shape combos compiled "
+                  f"(chunk lattice <= {max_chunks})")
         else:
             # compile the serving batch shape before accepting traffic
             vocab = getattr(engine, "vocab", None)

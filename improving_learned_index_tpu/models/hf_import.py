@@ -143,6 +143,69 @@ def hf_deep_impact_to_flax(
     return params
 
 
+def flax_deep_impact_to_hf(
+    params: Dict[str, Any],
+    config: EncoderConfig,
+    head_key: str = "impact_score_encoder.0",
+    trunk_prefix: str = "bert.",
+) -> Dict[str, np.ndarray]:
+    """Exact inverse of ``hf_deep_impact_to_flax``: flax param tree ->
+    HF-format state dict (numpy), with the reference's head keys
+    (``impact_score_encoder.0``, original.py:44-47).
+
+    Enables exporting a model trained with THIS repo's loop to the
+    HF-format checkpoint layout the reference stack loads — the round-trip
+    the real-weights parity gate exercises (scripts/parity_gate.py
+    ``--selftest trained``).  Pure re-layout (transposes/reshapes in
+    float32): export-then-import reproduces the tree bit-exactly."""
+    enc = jax_to_np(params["encoder"])
+    H, heads = config.hidden_size, config.num_heads
+    hd = H // heads
+    p = trunk_prefix
+    sd: Dict[str, np.ndarray] = {}
+    emb = enc["embeddings"]
+    sd[p + "embeddings.word_embeddings.weight"] = emb["word_embeddings"]["embedding"]
+    sd[p + "embeddings.position_embeddings.weight"] = emb["position_embeddings"][
+        "embedding"
+    ]
+    sd[p + "embeddings.token_type_embeddings.weight"] = emb["token_type_embeddings"][
+        "embedding"
+    ]
+    sd[p + "embeddings.LayerNorm.weight"] = emb["layer_norm"]["scale"]
+    sd[p + "embeddings.LayerNorm.bias"] = emb["layer_norm"]["bias"]
+    for i in range(config.num_layers):
+        L = enc[f"layer_{i}"]
+        q = f"{p}encoder.layer.{i}"
+        for name in ("query", "key", "value"):
+            k = L["attention"][name]
+            sd[f"{q}.attention.self.{name}.weight"] = (
+                k["kernel"].reshape(H, H).T
+            )
+            sd[f"{q}.attention.self.{name}.bias"] = k["bias"].reshape(H)
+        ao = L["attention"]["output_dense"]
+        sd[f"{q}.attention.output.dense.weight"] = ao["kernel"].reshape(H, H).T
+        sd[f"{q}.attention.output.dense.bias"] = ao["bias"]
+        sd[f"{q}.attention.output.LayerNorm.weight"] = L["attention_norm"]["scale"]
+        sd[f"{q}.attention.output.LayerNorm.bias"] = L["attention_norm"]["bias"]
+        sd[f"{q}.intermediate.dense.weight"] = L["intermediate"]["kernel"].T
+        sd[f"{q}.intermediate.dense.bias"] = L["intermediate"]["bias"]
+        sd[f"{q}.output.dense.weight"] = L["output"]["kernel"].T
+        sd[f"{q}.output.dense.bias"] = L["output"]["bias"]
+        sd[f"{q}.output.LayerNorm.weight"] = L["output_norm"]["scale"]
+        sd[f"{q}.output.LayerNorm.bias"] = L["output_norm"]["bias"]
+    head = jax_to_np(params["impact_head"]["dense"])
+    sd[f"{head_key}.weight"] = head["kernel"].T
+    sd[f"{head_key}.bias"] = head["bias"]
+    return {k: np.ascontiguousarray(v.astype(np.float32)) for k, v in sd.items()}
+
+
+def jax_to_np(tree):
+    """Fetch a (possibly device-resident) param subtree to numpy."""
+    import jax
+
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
 def load_hf_checkpoint(
     name_or_path: str, config: Optional[EncoderConfig] = None
 ) -> Dict[str, Any]:

@@ -678,29 +678,29 @@ class HybridSearchEngine:
         self.term_len = lengths
 
         # Partitioned tail: doc-sort each tail term's in-HBM postings once at
-        # load so per-batch scoring never sorts (see _apply_tail_partitioned
-        # and recommend_tail_partitioned for the density auto-gate).
+        # load so per-batch scoring never sorts.  OPT-IN ONLY — it lost the
+        # same-run A/B at both measured densities (see
+        # recommend_tail_partitioned for the numbers and the diagnosis).
         if tail_partitioned is None:
-            tail_partitioned, gate_stats = self.recommend_tail_partitioned(
+            tail_partitioned, _ = self.recommend_tail_partitioned(
                 lengths, is_heavy, self.n_pad, self.num_docs
             )
-            if tail_partitioned:
-                # Auto-enabling changes the serving hot path on the next
-                # restart with zero operator input — say so loudly, with the
-                # density numbers, so it can be A/B'd and overridden with
-                # --no_tail_partitioned (advisor round 4).
-                import logging
+        elif tail_partitioned:
+            _, gate_stats = self.recommend_tail_partitioned(
+                lengths, is_heavy, self.n_pad, self.num_docs
+            )
+            import logging
 
-                logging.getLogger(
-                    "improving_learned_index_tpu.hybrid_engine"
-                ).warning(
-                    "partitioned tail AUTO-ENABLED by the density gate "
-                    "(posting-weighted tail segment length %.0f >= %d over "
-                    "%d tiles); A/B with --no_tail_partitioned to override",
-                    gate_stats["segment_len"],
-                    gate_stats["threshold"],
-                    gate_stats["n_tiles"],
-                )
+            logging.getLogger(
+                "improving_learned_index_tpu.hybrid_engine"
+            ).warning(
+                "partitioned tail FORCED on (posting-weighted tail segment "
+                "length %.0f over %d tiles); it lost the same-run A/B at "
+                "every measured density — A/B against the default before "
+                "serving with this",
+                gate_stats["segment_len"],
+                gate_stats["n_tiles"],
+            )
         self._tail_partitioned = bool(
             tail_partitioned
             and not self._pallas
@@ -722,6 +722,27 @@ class HybridSearchEngine:
         else:
             self.dense = jax.device_put(np.zeros((1, self.n_pad), dtype=jnp.bfloat16))
 
+        # Heavy postings live ONLY in the dense rows after the build; keeping
+        # them in the device CSR wastes p_heavy x 8B of HBM (1.4GB at the
+        # 388M-posting MSMARCO store, where dense covers ~46% of postings).
+        # Re-upload just the tail slice and rebase the tail term starts —
+        # the reclaimed HBM is exactly what lets --dense_budget_gb grow,
+        # which shrinks the tail scatter (the measured per-batch bottleneck:
+        # XLA's serialized in-window scatter applies ~12M updates/s).
+        p_heavy = int(heavy_starts[-1]) if self.t_heavy else 0
+        if p_heavy > 0:
+            tail_n = n_postings - p_heavy
+            del self.doc_ids, self.impacts  # free the full CSR first
+            self.doc_ids = jax.device_put(
+                doc_ids[p_heavy:].astype(np.int32)
+                if tail_n else np.zeros(1, np.int32)
+            )
+            self.impacts = jax.device_put(
+                impacts[p_heavy:] if tail_n else np.zeros(1, np.float32)
+            )
+            self.term_start = self.term_start - p_heavy
+            self.term_start[heavy_tids] = 0  # dense-only; never gathered
+
     _DENSE_CHUNK_ROWS = 32  # fp32 scatter buffer: 32 rows x n_pad (1.13GB at 8.8M docs)
 
     @staticmethod
@@ -731,28 +752,37 @@ class HybridSearchEngine:
         n_pad: int,
         num_docs: int,
     ) -> Tuple[bool, dict]:
-        """Density auto-gate for the sort-free partitioned tail.
+        """Density auto-gate for the sort-free partitioned tail: always
+        False — the path is OPT-IN (--tail_partitioned), by measurement.
 
-        Partitioned chunks are TAIL_CHUNK-slot windows per (term, 64k-doc
-        tile), so the path only pays when tail lists are LONG relative to
-        the tile count: gate on the posting-weighted mean tail-list length
-        per tile (the expected (term, tile) segment length seen by a random
-        tail posting).  Measured both ways on v5e-1: at 8.8M docs / 40M
-        postings / 100k vocab (~3-posting segments, 99% chunk padding)
-        partitioned is ~5x SLOWER than the sorted tiled scatter (59 vs 312
-        q/s pipelined); the win case is long mid-frequency lists — MSMARCO
-        posting density (benchmarks/QBENCH_PART_388M.json).  Also requires
-        the tiled regime (>= _TILED_MIN_DOCS; flat scatter wins below, 417
-        vs 341 q/s sync at 1M docs).  Returns (decision, stats) so callers
-        (and tests) can inspect the computed density.
+        The partitioned tail was built on the theory that the per-batch
+        device sort dominated the tail scatter.  Same-run A/Bs on v5e-1
+        falsified it at BOTH ends of the density range: at 8.8M docs / 40M
+        postings / 100k vocab (~3-posting segments, 99% chunk padding) it
+        is ~5x slower (59 vs 312 q/s pipelined, QBENCH_PART_8M8.json), and
+        at the MSMARCO-density design target — 8.8M docs / 388M postings /
+        30k vocab, exactly the regime it was built for — it is still 3.4x
+        slower (22.5 vs 77.1 q/s sync, 24.3 vs 87.2 pipelined,
+        QBENCH_PART_388M.json).  Diagnosis: the dominant cost is the
+        serialized in-window scatter apply (~12M updates/s in XLA), which
+        scales with PADDED chunk slots; partitioning doubles those slots
+        (one >=TAIL_CHUNK chunk per non-empty (term, tile) segment) while
+        removing a sort that was never the bottleneck.  Even at zero
+        padding the best case is parity minus a small sort.  The measured
+        response to the frontier is the opposite lever: shrink the tail by
+        growing the dense row budget (heavy-CSR trim + --dense_budget_gb,
+        QBENCH_TRIM_388M.json).
+
+        Returns (decision, stats): the stats still describe the density so
+        operators forcing --tail_partitioned can see what they're choosing;
+        auto mode never enables the path.
         """
         n_tiles = max(n_pad // _SCATTER_TILE, 1)
         tail_lens = lengths[~is_heavy].astype(np.float64)
         p_tail = tail_lens.sum()
         wavg = float((tail_lens**2).sum() / p_tail) if p_tail else 0.0
         seg = wavg / n_tiles
-        decision = num_docs >= _TILED_MIN_DOCS and seg >= TAIL_CHUNK
-        return decision, {
+        return False, {
             "segment_len": seg,
             "threshold": TAIL_CHUNK,
             "n_tiles": n_tiles,

@@ -343,14 +343,88 @@ def build_selftest_fixture(root: Path, vocab_words=None, n_docs: int = 24,
     return ckpt, data
 
 
-def selftest(tol: float = 1e-6) -> int:
+def train_selftest_checkpoint(ckpt: Path, data: Path, steps: int = 12):
+    """Train the fixture checkpoint with THIS repo's own loop and export it
+    back to HF format in place.
+
+    Random weights exercise the gate mechanism but not the score
+    distributions trained weights produce (near-zero ReLU knees, saturated
+    impacts); this closes that gap offline: load the random fixture through
+    the HF bridge, train pairwise-CE on triples derived from the fixture
+    datasets to a measurably lower loss, and overwrite pytorch_model.bin
+    via ``flax_deep_impact_to_hf`` — the export round-trip the real-weights
+    gate will take when trained reference checkpoints exist."""
+    import json as _json
+    import tempfile
+
+    import torch
+
+    from improving_learned_index_tpu.core.config import TrainConfig
+    from improving_learned_index_tpu.models import DeepImpact
+    from improving_learned_index_tpu.models.hf_import import (
+        flax_deep_impact_to_hf,
+        hf_deep_impact_to_flax,
+    )
+    from improving_learned_index_tpu.text.hf_adapter import load_hf_tokenizer
+    from improving_learned_index_tpu.train import COLLATES, Trainer
+
+    config = encoder_config_from_hf(ckpt)
+    tokenizer = load_hf_tokenizer(ckpt, 64)
+    model = DeepImpact(config, tokenizer)
+    model.params = hf_deep_impact_to_flax(load_state_dict(ckpt), config)
+
+    # triples from the fixture datasets: (query, its relevant doc, another)
+    triples = []
+    for ds in sorted(p for p in data.iterdir() if p.is_dir()):
+        docs = {
+            r["_id"]: r["text"]
+            for r in map(_json.loads, (ds / "corpus.jsonl").read_text().splitlines())
+        }
+        queries = {
+            r["_id"]: r["text"]
+            for r in map(_json.loads, (ds / "queries.jsonl").read_text().splitlines())
+        }
+        doc_ids = sorted(docs)
+        for i, line in enumerate((ds / "qrels.tsv").read_text().splitlines()[1:]):
+            qid, did, _ = line.split("\t")
+            neg = docs[doc_ids[(doc_ids.index(did) + 1) % len(doc_ids)]]
+            triples.append((queries[qid], docs[did], neg))
+
+    cfg = TrainConfig(
+        batch_size=4, lr=5e-3, save_every=10**9, eval_every=10**9,
+        max_length=64, loss="pairwise_ce",
+    )
+    trainer = Trainer(model, cfg, Path(tempfile.mkdtemp(prefix="pg_train_")))
+    collate = COLLATES["pairwise_ce"]
+    batches = [
+        collate(triples[i : i + 4], tokenizer, 64)
+        for i in range(0, len(triples) - 3, 4)
+    ]
+    first = float(trainer._grad_step(trainer.params, trainer._put_batch(batches[0]))[0][0])
+    trainer.train(batches, total_steps=steps)
+    last = float(trainer._grad_step(trainer.params, trainer._put_batch(batches[0]))[0][0])
+    assert np.isfinite(first) and np.isfinite(last) and last < first, (
+        f"fixture training did not learn: loss {first} -> {last}"
+    )
+    sd = flax_deep_impact_to_hf(trainer.params, config)
+    torch.save({k: torch.tensor(v) for k, v in sd.items()}, ckpt / "pytorch_model.bin")
+    print(f"trained fixture checkpoint: pairwise-CE loss {first:.4f} -> {last:.4f}")
+
+
+def selftest(tol: float = 1e-6, trained: bool = False) -> int:
     import tempfile
 
     root = Path(tempfile.mkdtemp(prefix="parity_gate_"))
     ckpt, data = build_selftest_fixture(root)
+    if trained:
+        # trained impact distributions (ReLU knees, score>0 filtering under
+        # learned weights) through BOTH stacks, not just random init
+        train_selftest_checkpoint(ckpt, data)
     worst, _, _ = run_gate(ckpt, data, tol=tol, max_length=64)
     assert worst <= tol, f"selftest delta {worst} > {tol}"
-    print("selftest OK: identical weights -> identical nDCG@10 through both pipelines")
+    kind = "trained" if trained else "random"
+    print(f"selftest OK: identical {kind} weights -> identical nDCG@10 "
+          "through both pipelines")
     return 0
 
 
@@ -365,12 +439,16 @@ def main(argv=None) -> int:
     ap.add_argument("--max_length", type=int, default=256)
     ap.add_argument("--reference_model", choices=["shim", "import"],
                     default="shim")
-    ap.add_argument("--selftest", action="store_true",
+    ap.add_argument("--selftest", nargs="?", const="random",
+                    choices=["random", "trained"], default=None,
                     help="offline mechanism validation on a generated "
-                    "random-weight checkpoint (zero-delta assertion)")
+                    "checkpoint (zero-delta assertion): 'random' weights, "
+                    "or 'trained' — train the fixture with this repo's own "
+                    "loop, export via flax_deep_impact_to_hf, and gate the "
+                    "trained impact distributions through both stacks")
     args = ap.parse_args(argv)
     if args.selftest:
-        return selftest()
+        return selftest(trained=args.selftest == "trained")
     if not args.weights or not args.data_dir:
         ap.error("--weights and --data_dir required (or --selftest)")
     worst, _, _ = run_gate(
