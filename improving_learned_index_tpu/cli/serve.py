@@ -47,7 +47,12 @@ def main(argv=None) -> int:
     parser.add_argument("--max_wait_ms", type=float, default=5.0)
     parser.add_argument("--pairwise", action="store_true")
     parser.add_argument("--dense_budget_gb", type=float, default=4.0)
-    parser.add_argument("--use_pallas", action="store_true")
+    parser.add_argument("--use_pallas", action="store_true", default=None,
+                        help="force the Pallas scoring kernels on (default: "
+                        "auto — on at >= 4M docs, where they win 282 vs 199 "
+                        "q/s pipelined at 388M postings)")
+    parser.add_argument("--no_use_pallas", dest="use_pallas",
+                        action="store_false")
     parser.add_argument("--tail_partitioned", action="store_true", default=None,
                         help="hybrid engine: doc-partition tail postings at "
                         "load so scoring never sorts.  OPT-IN: lost "

@@ -461,13 +461,30 @@ def _finish_topk(scores, num_docs: int, top_k: int, approx: bool, integer_scores
 
 
 def _gather_tail(doc_ids, impacts, starts, lengths, rows):
-    """Expand the chunk table into flat (doc, value, row) update arrays."""
+    """Expand the chunk table into flat (doc, value, row) update arrays.
+
+    Each chunk reads TAIL_CHUNK *contiguous* postings, so the gather is a
+    vmapped ``dynamic_slice`` — XLA lowers it to whole-slice (2KB) block
+    copies.  The obvious ``jnp.take(doc_ids, starts[:,None]+offs)`` lowers
+    to an element-wise random gather instead and runs ~100x slower: 477ms
+    for 8.4M slots at the 388M-posting store vs ~115ms for the ENTIRE rest
+    of the batch (dense matmul 35ms + exact top-k 80ms) — it, not the
+    device sort (+39ms), was the scaling frontier (/tmp profiling 2026-08-20,
+    benchmarks/QBENCH_TRIM_388M.json).
+
+    INVARIANT: callers pad ``doc_ids``/``impacts`` with >= TAIL_CHUNK
+    trailing zeros (HybridSearchEngine pads at init) so a partial chunk at
+    the array end never clamp-shifts; padded lanes read zeros and are
+    masked by ``valid`` anyway."""
     offs = jnp.arange(TAIL_CHUNK, dtype=jnp.int32)[None, :]
-    pos = starts[:, None] + offs
     valid = offs < lengths[:, None]
-    pos = jnp.where(valid, pos, 0)
-    d = jnp.take(doc_ids, pos, axis=0)
-    v = jnp.where(valid, jnp.take(impacts, pos, axis=0), 0.0)
+    d = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(doc_ids, (s,), (TAIL_CHUNK,))
+    )(starts)
+    v = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(impacts, (s,), (TAIL_CHUNK,))
+    )(starts)
+    v = jnp.where(valid, v, 0.0)
     r = jnp.broadcast_to(rows[:, None], d.shape)
     return d.reshape(-1), v.reshape(-1), r.reshape(-1), valid.reshape(-1)
 
@@ -607,15 +624,17 @@ class HybridSearchEngine:
             self.n_pad = ((self.num_docs + 127) // 128) * 128
         # Pallas kernels need a real TPU backend (CPU tests keep the XLA
         # paths), the integer impact lattice (bf16 one-hot exactness), and
-        # tile-aligned padding.  OPT-IN (use_pallas=True), by measurement:
+        # tile-aligned padding.  AUTO at corpus scale, by measurement: at
+        # 8.8M docs / 388M postings the Pallas tail wins 282.5 vs 199.3
+        # q/s pipelined, rank-exact in-run (QBENCH_GATHER_388M.json), and
         # the 40-batch TPU stress gate is clean (0/40 failures, 0/64
-        # mismatches vs XLA — benchmarks/tpu_validation.log 2026-08-18, so
-        # the once-seen relay-outage error was not a kernel fault), but the
-        # same run's interleaved pipelined A/B has the XLA path FASTER end
-        # to end (453/470 q/s vs 413/272 at 1M docs): the per-stage kernel
-        # wins (scatter 7.9 vs 18 ms) don't survive pipelining, where the
-        # scatter overlaps the host top-k anyway.  The serving default
-        # stays the measured winner.  Tests flip _pallas on with
+        # mismatches vs XLA — benchmarks/tpu_validation.log 2026-08-18).
+        # Below the tiled regime the XLA path stays the measured winner
+        # (453/470 vs 413/272 q/s at 1M docs: the per-stage kernel wins
+        # don't survive pipelining there), so the auto gate follows
+        # _TILED_MIN_DOCS.  A runtime Pallas failure degrades the engine
+        # to the XLA path permanently (_log_pallas_fallback) — serving
+        # keeps answering, exactly.  Tests flip _pallas on with
         # _pallas_interpret so the dispatch path runs through the Pallas
         # interpreter on CPU.
         pallas_ok = (
@@ -623,6 +642,8 @@ class HybridSearchEngine:
             and self.n_pad % _SCATTER_TILE == 0
             and jax.default_backend() == "tpu"
         )
+        if use_pallas is None:
+            use_pallas = self.num_docs >= _TILED_MIN_DOCS
         self._pallas = bool(use_pallas) and pallas_ok
         self._pallas_interpret = False
         self.offsets = np.asarray(index.offsets, dtype=np.int64)
@@ -711,11 +732,16 @@ class HybridSearchEngine:
         if self._tail_partitioned:
             self._tail_bounds_rel = self._partition_tail_by_doc(doc_ids, impacts)
 
-        has = n_postings > 0
+        # >= TAIL_CHUNK trailing zeros: _gather_tail slices whole chunks
+        # with dynamic_slice, which must never clamp-shift at the array end
+        zpad_i = np.zeros(TAIL_CHUNK, np.int32)
+        zpad_f = np.zeros(TAIL_CHUNK, np.float32)
         self.doc_ids = jax.device_put(
-            doc_ids.astype(np.int32) if has else np.zeros(1, np.int32)
+            np.concatenate([doc_ids.astype(np.int32), zpad_i])
         )
-        self.impacts = jax.device_put(impacts if has else np.zeros(1, np.float32))
+        self.impacts = jax.device_put(
+            np.concatenate([impacts.astype(np.float32), zpad_f])
+        )
 
         if self.t_heavy:
             self.dense = self._build_dense_on_device(heavy_starts)
@@ -731,14 +757,12 @@ class HybridSearchEngine:
         # XLA's serialized in-window scatter applies ~12M updates/s).
         p_heavy = int(heavy_starts[-1]) if self.t_heavy else 0
         if p_heavy > 0:
-            tail_n = n_postings - p_heavy
             del self.doc_ids, self.impacts  # free the full CSR first
             self.doc_ids = jax.device_put(
-                doc_ids[p_heavy:].astype(np.int32)
-                if tail_n else np.zeros(1, np.int32)
+                np.concatenate([doc_ids[p_heavy:].astype(np.int32), zpad_i])
             )
             self.impacts = jax.device_put(
-                impacts[p_heavy:] if tail_n else np.zeros(1, np.float32)
+                np.concatenate([impacts[p_heavy:].astype(np.float32), zpad_f])
             )
             self.term_start = self.term_start - p_heavy
             self.term_start[heavy_tids] = 0  # dense-only; never gathered

@@ -45,7 +45,7 @@ def build_engine(
     engine: str = "auto",
     approx_top_k: bool = False,
     dense_budget_bytes: int = 4 << 30,
-    use_pallas: bool = False,
+    use_pallas=None,  # None = engine auto (Pallas tail at corpus scale)
     num_docs: int = 0,
     tail_partitioned=None,
 ):

@@ -58,6 +58,7 @@ class ShardedSearchEngine:
         mesh: Mesh,
         config: SearchConfig = SearchConfig(),
         heavy_min: int = 1024,
+        dense_budget_bytes: int = 4 << 30,
         axis: str = "data",
         use_pallas: bool = False,  # opt-in per-shard Pallas tail scatter
         tail_partitioned: Optional[bool] = None,
@@ -98,6 +99,13 @@ class ShardedSearchEngine:
         offsets = np.asarray(index.offsets, dtype=np.int64)
         lengths = np.diff(offsets)
         heavy_tids = np.nonzero(lengths >= heavy_min)[0]
+        # per-shard dense budget caps the row count, longest lists first
+        # (same rule as the single-chip engine; each device holds
+        # [T_heavy, shard_docs] bf16)
+        max_rows = max(1, dense_budget_bytes // (2 * self.shard_docs))
+        if len(heavy_tids) > max_rows:
+            order = np.argsort(lengths[heavy_tids])[::-1]
+            heavy_tids = np.sort(heavy_tids[order[:max_rows]])
         self.heavy_row = {int(t): i for i, t in enumerate(heavy_tids)}
         self.heavy_row_arr = np.full(len(lengths), -1, dtype=np.int32)
         self.heavy_row_arr[heavy_tids] = np.arange(len(heavy_tids), dtype=np.int32)
@@ -227,7 +235,9 @@ class ShardedSearchEngine:
             dense_sharding,
             [jax.device_put(d[None], dev) for d, dev in zip(dense_shards, devices)],
         )
-        pad = _bucket(max_tail, base=128)
+        # + TAIL_CHUNK: the chunk gather slices whole chunks (see
+        # hybrid_engine._gather_tail) and must never clamp-shift at the end
+        pad = _bucket(max_tail + TAIL_CHUNK, base=128)
         tdocs = np.zeros((self.n_shards, pad), np.int32)
         tvals = np.zeros((self.n_shards, pad), np.float32)
         for s, (d, v) in enumerate(tail_data):
@@ -264,12 +274,18 @@ class ShardedSearchEngine:
                     tail_table_s[0, 1],
                     tail_table_s[0, 2],
                 )
+                # whole-chunk dynamic_slice gather (NOT element-wise take):
+                # see hybrid_engine._gather_tail — the shard arrays carry
+                # >= TAIL_CHUNK trailing zeros so slices never clamp-shift
                 offs = jnp.arange(TAIL_CHUNK, dtype=jnp.int32)[None, :]
-                pos = starts[:, None] + offs
                 valid = offs < lens[:, None]
-                pos = jnp.where(valid, pos, 0)
-                d = jnp.take(tail_docs_s[0], pos, axis=0)
-                v = jnp.take(tail_vals_s[0], pos, axis=0)
+                td, tv = tail_docs_s[0], tail_vals_s[0]
+                d = jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(td, (s,), (TAIL_CHUNK,))
+                )(starts)
+                v = jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(tv, (s,), (TAIL_CHUNK,))
+                )(starts)
                 v = jnp.where(valid, v, 0.0)
                 r = jnp.broadcast_to(rows[:, None], d.shape)
                 if tail_impl.startswith("pallas"):
