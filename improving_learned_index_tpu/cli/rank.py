@@ -30,8 +30,11 @@ def main(argv=None) -> int:
                         help="hardware-friendly approximate top-k (device engine)")
     parser.add_argument("--dense_budget_gb", type=float, default=4.0,
                         help="hybrid engine: HBM budget for dense heavy-term "
-                        "rows; more rows shrink the serialized tail scatter "
-                        "(8.8M docs: 4GB->174 q/s, 6GB->222 q/s on v5e-1)")
+                        "rows.  4GB is the measured sweet spot at 8.8M docs "
+                        "since the chunk-slice gather fix (8GB measured "
+                        "SLOWER: engine-wide HBM pressure outweighs the "
+                        "smaller tail — QBENCH_TRIM_388M.json vs "
+                        "QBENCH_GATHER_388M.json)")
     parser.add_argument("--use_pallas", action="store_true", default=None,
                         help="force the Pallas gather/scatter scoring "
                         "kernels on (TPU only; exact; default: auto — on at "
