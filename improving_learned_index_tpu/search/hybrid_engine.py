@@ -460,30 +460,41 @@ def _finish_topk(scores, num_docs: int, top_k: int, approx: bool, integer_scores
     return jnp.stack([jax.lax.bitcast_convert_type(vals, jnp.int32), idx], axis=1)
 
 
-def _gather_tail(doc_ids, impacts, starts, lengths, rows):
+def _gather_tail(doc_ids, impacts, starts, lengths, rows, slice_gather=False):
     """Expand the chunk table into flat (doc, value, row) update arrays.
 
-    Each chunk reads TAIL_CHUNK *contiguous* postings, so the gather is a
-    vmapped ``dynamic_slice`` — XLA lowers it to whole-slice (2KB) block
-    copies.  The obvious ``jnp.take(doc_ids, starts[:,None]+offs)`` lowers
-    to an element-wise random gather instead and runs ~100x slower: 477ms
-    for 8.4M slots at the 388M-posting store vs ~115ms for the ENTIRE rest
-    of the batch (dense matmul 35ms + exact top-k 80ms) — it, not the
-    device sort (+39ms), was the scaling frontier (/tmp profiling 2026-08-20,
-    benchmarks/QBENCH_TRIM_388M.json).
+    Two gather lowerings, picked by the caller's scatter regime (the flag
+    is trace-time static):
 
-    INVARIANT: callers pad ``doc_ids``/``impacts`` with >= TAIL_CHUNK
-    trailing zeros (HybridSearchEngine pads at init) so a partial chunk at
-    the array end never clamp-shifts; padded lanes read zeros and are
-    masked by ``valid`` anyway."""
+    - ``slice_gather=True`` (tiled regime, >= _TILED_MIN_DOCS): each chunk
+      reads TAIL_CHUNK *contiguous* postings, so gather whole chunks with
+      a vmapped ``dynamic_slice`` — XLA lowers it to 2KB block copies.
+      The element-wise ``jnp.take`` lowers to a random gather and ran
+      477ms for 8.4M slots at the 388M-posting store vs ~115ms for the
+      ENTIRE rest of the batch — it, not the device sort (+39ms), was the
+      scaling frontier (QBENCH_GATHER_388M.json: 87 -> 282 q/s pipelined).
+      INVARIANT: callers pad ``doc_ids``/``impacts`` with >= TAIL_CHUNK
+      trailing zeros (the engines pad at init) so a partial chunk at the
+      array end never clamp-shifts; padded lanes are masked by ``valid``.
+    - ``slice_gather=False`` (flat-scatter regime, small corpora): keep
+      ``jnp.take`` — XLA fuses it into the flat scatter-add, and the
+      materialized slice intermediate measured ~15% SLOWER end-to-end at
+      1M docs (648 vs 788 q/s pipelined, same-process A/B 2026-08-20).
+    """
     offs = jnp.arange(TAIL_CHUNK, dtype=jnp.int32)[None, :]
     valid = offs < lengths[:, None]
-    d = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(doc_ids, (s,), (TAIL_CHUNK,))
-    )(starts)
-    v = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(impacts, (s,), (TAIL_CHUNK,))
-    )(starts)
+    if slice_gather:
+        d = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(doc_ids, (s,), (TAIL_CHUNK,))
+        )(starts)
+        v = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(impacts, (s,), (TAIL_CHUNK,))
+        )(starts)
+    else:
+        pos = starts[:, None] + offs
+        pos = jnp.where(valid, pos, 0)
+        d = jnp.take(doc_ids, pos, axis=0)
+        v = jnp.take(impacts, pos, axis=0)
     v = jnp.where(valid, v, 0.0)
     r = jnp.broadcast_to(rows[:, None], d.shape)
     return d.reshape(-1), v.reshape(-1), r.reshape(-1), valid.reshape(-1)
@@ -535,7 +546,10 @@ def _score_and_topk_pallas(
         scores = jnp.zeros((nq, n_pad), dtype=jnp.float32)
 
     if tail_impl == "pallas":
-        d, v, r, _ = _gather_tail(doc_ids, impacts, starts, lengths, rows)
+        d, v, r, _ = _gather_tail(
+            doc_ids, impacts, starts, lengths, rows,
+            slice_gather=n_pad >= _TILED_MIN_DOCS,
+        )
         scores = apply_tail_updates(scores, d, v, r, interpret=interpret)
 
     return _finish_topk(scores, num_docs, top_k, approx, True)
@@ -578,7 +592,10 @@ def _score_and_topk(
         scores = jnp.zeros((q, n_pad), dtype=jnp.float32)
 
     if use_tail:
-        d, v, r, valid = _gather_tail(doc_ids, impacts, starts, lengths, rows)
+        d, v, r, valid = _gather_tail(
+            doc_ids, impacts, starts, lengths, rows,
+            slice_gather=n_pad >= _TILED_MIN_DOCS,
+        )
         if tail_partitioned:
             scores = _apply_tail_partitioned(scores, d, v, r, tile_bounds)
         elif n_pad >= _TILED_MIN_DOCS and n_pad % _SCATTER_TILE == 0:

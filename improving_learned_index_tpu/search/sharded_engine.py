@@ -274,18 +274,24 @@ class ShardedSearchEngine:
                     tail_table_s[0, 1],
                     tail_table_s[0, 2],
                 )
-                # whole-chunk dynamic_slice gather (NOT element-wise take):
-                # see hybrid_engine._gather_tail — the shard arrays carry
-                # >= TAIL_CHUNK trailing zeros so slices never clamp-shift
+                # regime-gated chunk gather (see hybrid_engine._gather_tail):
+                # whole-chunk dynamic_slice in the tiled regime (the shard
+                # arrays carry >= TAIL_CHUNK trailing zeros so slices never
+                # clamp-shift), fused element-wise take below it
                 offs = jnp.arange(TAIL_CHUNK, dtype=jnp.int32)[None, :]
                 valid = offs < lens[:, None]
                 td, tv = tail_docs_s[0], tail_vals_s[0]
-                d = jax.vmap(
-                    lambda s: jax.lax.dynamic_slice(td, (s,), (TAIL_CHUNK,))
-                )(starts)
-                v = jax.vmap(
-                    lambda s: jax.lax.dynamic_slice(tv, (s,), (TAIL_CHUNK,))
-                )(starts)
+                if shard_docs >= _TILED_MIN:
+                    d = jax.vmap(
+                        lambda s: jax.lax.dynamic_slice(td, (s,), (TAIL_CHUNK,))
+                    )(starts)
+                    v = jax.vmap(
+                        lambda s: jax.lax.dynamic_slice(tv, (s,), (TAIL_CHUNK,))
+                    )(starts)
+                else:
+                    pos = jnp.where(valid, starts[:, None] + offs, 0)
+                    d = jnp.take(td, pos, axis=0)
+                    v = jnp.take(tv, pos, axis=0)
                 v = jnp.where(valid, v, 0.0)
                 r = jnp.broadcast_to(rows[:, None], d.shape)
                 if tail_impl.startswith("pallas"):
