@@ -36,6 +36,16 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+try:  # replay warmup compiles from disk like cli.serve does on restart
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(Path(__file__).resolve().parent.parent / ".jax_cache"),
+    )
+except Exception:
+    pass
+
 
 def build_index(num_docs=20_000, vocab=2_000, per_doc=20, seed=0):
     from improving_learned_index_tpu.index.inverted import InvertedIndexData
