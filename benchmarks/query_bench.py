@@ -300,10 +300,19 @@ def main():
                 part = True
             elif base.startswith("hybrid_nopart"):
                 part = False
+            # pallas: force-on for hybrid_pallas*; force-off for the
+            # explicit XLA-arm labels (nopart/part A/B controls must not
+            # silently flip to the kernels, and partitioned never combines
+            # with them); engine auto (production default) otherwise
+            pallas = None
+            if base.startswith("hybrid_pallas"):
+                pallas = True
+            elif base.startswith(("hybrid_xla", "hybrid_nopart", "hybrid_part")):
+                pallas = False
             if base not in engine_cache:
                 engine_cache.clear()
                 eng = None  # free the previous config's HBM before this init
-            eng = get_hybrid(base, cfg, part, base.startswith("hybrid_pallas"))
+            eng = get_hybrid(base, cfg, part, pallas)
             if name.endswith("_pipelined") or name.endswith("_pipelined32"):
                 # Throughput mode: keep batches in flight so transfer
                 # overlaps compute (exact top-k).
